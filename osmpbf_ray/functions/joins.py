@@ -1,0 +1,142 @@
+"""Join toolkit: broadcast semi-join, ways→deps, partitioned hash join.
+
+The reference's only join is ``IndexedReader::read_ways_and_deps``
+(/root/reference/src/indexed.rs:264-330): pass 1 filters ways and collects
+referenced node ids into a driver-side set; pass 2 rescans only blobs
+whose node id-range intersects the set. Ray-Data-first re-expression:
+
+* small key set  → ``ray.put`` broadcast once, ``pc.is_in`` filter inside
+  ``map_batches`` on every node block (no shuffle at all). Fragment-level
+  zone-map pruning comes free from parquet statistics at read time.
+* large key sets → explicit partitioned hash join: bucket both sides by
+  ``hash(key) % B``, co-group, join per bucket — documented partitioning
+  assumption: both sides bucketed on the same key with the same B.
+
+At 100 TB the broadcast path is the right default whenever the filtered
+side fits driver memory (the common case: predicates are selective); the
+bucketed path is the fallback and is also what the spatial join uses
+(bucket = cell).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def broadcast_semi_join(ds, key_col: str, keys_ref) -> "ray.data.Dataset":
+    """Keep rows whose ``key_col`` ∈ broadcast key set.
+
+    ``keys_ref`` is an ``ray.ObjectRef`` from ``ray.put(np.ndarray)`` —
+    shipped to each task once via Ray's object store (zero re-serialization
+    per batch), the scale-correct analog of the reference's BTreeSet
+    binary-search membership test (indexed.rs:314,320).
+    """
+
+    class SemiJoin:
+        def __init__(self):
+            keys = ray.get(keys_ref)
+            self.keys = pa.array(np.unique(np.asarray(keys)))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch[key_col], value_set=self.keys))
+
+    return ds.map_batches(SemiJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+
+
+def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):
+    """``read_ways_and_deps`` equivalent (indexed.rs:264-330).
+
+    Pass 1: filter ways with the vectorized batch predicate, collect the
+    union of their ``refs`` (small side — materialized, it is the filtered
+    result). Pass 2: broadcast the id set and semi-join nodes.
+    Returns (matching_ways: pa.Table, dep_nodes: Dataset).
+    """
+    matched = ways_ds.map_batches(
+        way_predicate_batch_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbls = [ray.get(r) for r in matched.to_arrow_refs()]
+    if tbls:
+        ways_tbl = pa.concat_tables(tbls, promote_options="default")
+    else:  # zero-block edge: fall back to the canonical ways schema
+        from osmpbf_ray import schema as _schema
+
+        ways_tbl = _schema.WAYS_SCHEMA.empty_table()
+    if ways_tbl.num_rows:
+        refs = pc.list_flatten(ways_tbl.column("refs").combine_chunks())
+        key_set = np.unique(refs.to_numpy(zero_copy_only=False))
+    else:
+        key_set = np.empty(0, dtype=np.int64)
+    keys_ref = ray.put(key_set)
+    deps = broadcast_semi_join(nodes_ds, "id", keys_ref)
+    return ways_tbl, deps
+
+
+def add_bucket_column(batch: pa.Table, key_col: str, n_buckets: int, out_col: str = "bucket") -> pa.Table:
+    """Deterministic hash bucket for the partitioned join (splitmix64)."""
+    k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    z = k + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return batch.append_column(out_col, pa.array((z % np.uint64(n_buckets)).astype(np.int64)))
+
+
+def partitioned_hash_join(
+    left_ds,
+    right_ds,
+    key: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Explicit partitioned hash join (both sides large).
+
+    Partitioning assumption: both sides are bucketed by the SAME
+    ``hash(key) % n_buckets``; each bucket's pair joins independently
+    inside ``map_groups`` (pandas merge per bucket). Skewed keys should be
+    pre-salted by the caller (salt hot keys into sub-buckets and replicate
+    the other side across the salt range).
+    """
+    lb = left_ds.map_batches(
+        lambda b: add_bucket_column(b, key, n_buckets), batch_format="pyarrow"
+    )
+    rb = right_ds.map_batches(
+        lambda b: add_bucket_column(b, key, n_buckets), batch_format="pyarrow"
+    )
+    tagged_l = lb.map_batches(
+        lambda b: b.append_column("__side", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    tagged_r = rb.map_batches(
+        lambda b: b.append_column("__side", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    # original dtypes, to undo pandas' NaN-driven upcasts from the union
+    dtypes = pa.schema(
+        [lschema.base_schema.field(c) for c in lcols]
+        + [
+            rschema.base_schema.field(c).with_name(c + suffix if c in lcols and c != key else c)
+            for c in rcols
+            if c != key
+        ]
+    ).empty_table().to_pandas().dtypes.to_dict()
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == 0][lcols]
+        right = g[g["__side"] == 1][rcols]
+        out = left.merge(right, on=key, how=how, suffixes=("", suffix))
+        for col, dt in dtypes.items():
+            if col in out.columns and out[col].dtype != dt and not out[col].isna().any():
+                out[col] = out[col].astype(dt)
+        return out
+
+    return tagged_l.union(tagged_r).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

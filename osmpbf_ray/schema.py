@@ -1,0 +1,139 @@
+"""Canonical Arrow schemas for the engine (SURVEY.md §1.2).
+
+The reference's data hierarchy (Blob → PrimitiveBlock → element arrays,
+/root/reference/src/proto/osmformat.proto:104-262) maps onto fixed Arrow
+schemas: one logical table per element kind, plus the image+caption table
+from BASELINE.json:input_hint and the polygon table for the spatial join.
+
+Coordinate semantics follow the reference exactly
+(/root/reference/src/elements.rs:84-111): storage is scaled integers,
+``nano = offset + granularity * stored``; degrees are a derived float
+(``nano * 1e-9``) and decimicro-degrees are ``nano / 100`` (integer).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# --- element metadata struct (reference Info / DenseInfo,
+#     /root/reference/src/elements.rs:568-626, src/dense.rs:187-316) ---
+INFO_STRUCT = pa.struct(
+    [
+        ("version", pa.int32()),
+        ("timestamp_ms", pa.int64()),
+        ("changeset", pa.int64()),
+        ("uid", pa.int32()),
+        ("user", pa.string()),
+        ("visible", pa.bool_()),  # default true when absent (elements.rs:616-619)
+    ]
+)
+
+# Tags: the reference stores string-table indices (osmformat.proto:129-137);
+# we store resolved key/value pairs. list<struct> rather than map<> because
+# pandas/duckdb round-trips of map columns are lossy.
+TAGS_TYPE = pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())]))
+
+NODES_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+        ("nano_lat", pa.int64()),
+        ("nano_lon", pa.int64()),
+        ("tags", TAGS_TYPE),
+        ("info", INFO_STRUCT),
+    ]
+)
+
+WAYS_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("refs", pa.list_(pa.int64())),  # order is semantic: [105,106,108,105]
+        ("tags", TAGS_TYPE),
+        ("info", INFO_STRUCT),
+        # LocationsOnWays (osmformat.proto:235-239); null when feature absent
+        (
+            "locations",
+            pa.list_(pa.struct([("nano_lat", pa.int64()), ("nano_lon", pa.int64())])),
+        ),
+    ]
+)
+
+# member_type enum (reference RelationMemberType, osmformat.proto:246-250)
+MEMBER_NODE, MEMBER_WAY, MEMBER_RELATION = 0, 1, 2
+
+RELATIONS_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        (
+            "members",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("role", pa.string()),
+                        ("member_id", pa.int64()),
+                        ("member_type", pa.int8()),
+                    ]
+                )
+            ),
+        ),
+        ("tags", TAGS_TYPE),
+        ("info", INFO_STRUCT),
+    ]
+)
+
+# --- delta-coded block table: the engine analog of a PBF PrimitiveBlock
+#     with DenseNodes (osmformat.proto:197-219). One row = one block;
+#     the decode stage cumsum-reconstructs ids/coords per block
+#     (reference decoder: /root/reference/src/dense.rs:86-183). ---
+BLOCKS_SCHEMA = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("kind", pa.string()),  # "header" | "dense" | "unknown" (blob type dispatch)
+        ("id_delta", pa.list_(pa.int64())),
+        ("lat_delta", pa.list_(pa.int64())),
+        ("lon_delta", pa.list_(pa.int64())),
+        ("keys_vals", pa.list_(pa.int32())),  # flattened ((k v)* 0)* indices
+        ("stringtable", pa.list_(pa.binary())),  # index 0 reserved blank
+        ("granularity", pa.int32()),  # default 100 nanodegrees
+        ("lat_offset", pa.int64()),
+        ("lon_offset", pa.int64()),
+        ("date_granularity", pa.int32()),  # default 1000 ms
+        # DenseInfo columns (delta-coded like the reference src/dense.rs:299-302)
+        ("version", pa.list_(pa.int32())),
+        ("timestamp_delta", pa.list_(pa.int64())),
+        ("changeset_delta", pa.list_(pa.int64())),
+        ("uid_delta", pa.list_(pa.int32())),
+        ("user_sid_delta", pa.list_(pa.int32())),
+        ("visible", pa.list_(pa.bool_())),
+    ]
+)
+
+# --- image + caption table (BASELINE.json:input_hint, exact shape) ---
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),  # "png" (lossless) | "jpeg" (lossy)
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        # derived join columns
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+    ]
+)
+
+POLYGONS_SCHEMA = pa.schema(
+    [
+        ("poly_id", pa.int64()),
+        # closed ring, first == last (like way 107's refs [105,106,108,105])
+        ("ring", pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))),
+        ("tags", TAGS_TYPE),
+    ]
+)
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()

@@ -1,0 +1,105 @@
+"""par_map_reduce / for_each / semi-join conformance (reference
+src/reader.rs + src/indexed.rs semantics on the golden world)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from osmpbf_ray.functions import joins, mapreduce
+from osmpbf_ray.sources import fixtures
+from osmpbf_ray.stages.tags import filter_by_tag
+
+
+def _golden_union_ds():
+    """All 5 golden elements as one dataset with a kind column."""
+    nodes = fixtures.golden_nodes().select(["id"]).append_column(
+        "kind", pa.array(["node"] * 3)
+    )
+    ways = fixtures.golden_ways().select(["id"]).append_column("kind", pa.array(["way"]))
+    rels = fixtures.golden_relations().select(["id"]).append_column(
+        "kind", pa.array(["relation"])
+    )
+    return rd.from_arrow(pa.concat_tables([nodes, ways, rels]))
+
+
+def test_count_five_elements():
+    ds = _golden_union_ds()
+    assert mapreduce.count_elements(ds) == 5
+
+
+def test_par_map_reduce_tallies():
+    """Per-kind tallies like examples/count.rs:15-23."""
+    ds = _golden_union_ds()
+
+    def fold(batch):
+        kinds = batch.column("kind").to_pylist()
+        return (
+            kinds.count("node"),
+            kinds.count("way"),
+            kinds.count("relation"),
+        )
+
+    total = mapreduce.par_map_reduce(
+        ds,
+        fold,
+        lambda: (0, 0, 0),
+        lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+    )
+    assert total == (3, 1, 1)
+
+
+def test_sequential_equals_parallel():
+    """tests/read.rs:270-292: same count via sequential scan and par reduce."""
+    ds = _golden_union_ds()
+    seen = []
+    mapreduce.for_each(ds, lambda row: seen.append(row["id"]))
+    assert len(seen) == 5
+    assert mapreduce.count_elements(ds) == len(seen)
+
+
+def test_ways_and_deps_golden():
+    """Semi-join golden: building=yes → 1 way + 3 distinct nodes
+    (tests/read.rs:295-319)."""
+    ways = rd.from_arrow(fixtures.golden_ways())
+    nodes = rd.from_arrow(fixtures.golden_nodes())
+    ways_tbl, deps = joins.ways_and_deps(
+        ways, nodes, lambda b: filter_by_tag(b, "building", "yes")
+    )
+    assert ways_tbl.num_rows == 1
+    assert ways_tbl.column("id").to_pylist() == [107]
+    dep_ids = sorted(deps.to_pandas()["id"].tolist())
+    assert dep_ids == [105, 106, 108]
+
+
+def test_ways_and_deps_no_match():
+    ways = rd.from_arrow(fixtures.golden_ways())
+    nodes = rd.from_arrow(fixtures.golden_nodes())
+    ways_tbl, deps = joins.ways_and_deps(
+        ways, nodes, lambda b: filter_by_tag(b, "building", "no_such")
+    )
+    assert ways_tbl.num_rows == 0
+    assert deps.count() == 0
+
+
+def test_broadcast_semi_join():
+    nodes = rd.from_arrow(fixtures.golden_nodes())
+    keys_ref = ray.put(np.array([106, 108, 999]))
+    out = joins.broadcast_semi_join(nodes, "id", keys_ref)
+    assert sorted(out.to_pandas()["id"].tolist()) == [106, 108]
+
+
+def test_partitioned_hash_join():
+    rng = np.random.default_rng(11)
+    left = pa.table({"k": rng.integers(0, 50, 200), "a": np.arange(200)})
+    right = pa.table({"k": np.arange(50), "b": np.arange(50) * 10})
+    out = joins.partitioned_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", n_buckets=8
+    ).to_pandas()
+    import pandas as pd
+
+    expect = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert len(out) == len(expect)
+    got = out.sort_values(["k", "a"]).reset_index(drop=True)[["k", "a", "b"]]
+    exp = expect.sort_values(["k", "a"]).reset_index(drop=True)[["k", "a", "b"]]
+    pd.testing.assert_frame_equal(got, exp)
