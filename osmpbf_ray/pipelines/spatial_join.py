@@ -1,0 +1,161 @@
+"""Spatial join: points (images) × polygons via cell-cover pruning + PIP refine.
+
+Generalizes the reference's only join — the id-range-pruned two-pass
+ways→nodes semi-join (/root/reference/src/indexed.rs:264-330) — to space:
+the polygon side's cell cover plays the role of the blob id-range zone map
+(cheap superset test), ray-casting point-in-polygon plays the role of the
+exact binary search (indexed.rs:314).
+
+Scale shape: the polygon side is the SMALL side (10^4–10^6 polygons) and
+is broadcast once via ``ray.put``; the image side (10^12 rows) streams
+through a stateless-per-batch actor pool that builds the cell→polygon
+index once per actor in ``__init__``. No shuffle at all — the join is
+map-side, which is the only shape that works when the big side is 100 TB.
+For polygon sets too big to broadcast, pre-partition both sides by
+``cell_parent(cell, coarse_z)`` and run this join per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from osmpbf_ray.stages import spatial
+
+
+def polygon_arrays(polygons: pa.Table) -> list[dict]:
+    """Extract rings into numpy form once (driver-side, small)."""
+    out = []
+    rings = polygons.column("ring").to_pylist()
+    ids = polygons.column("poly_id").to_pylist()
+    for pid, ring in zip(ids, rings):
+        out.append(
+            {
+                "poly_id": pid,
+                "ring_lat": np.array([p["lat"] for p in ring]),
+                "ring_lon": np.array([p["lon"] for p in ring]),
+            }
+        )
+    return out
+
+
+class PolygonIndex:
+    """cell → candidate polygon ids, built once (actor ``__init__``)."""
+
+    def __init__(self, polys: list[dict], z: int):
+        self.z = z
+        self.polys = polys
+        self.cover: dict[int, list[int]] = {}
+        for i, p in enumerate(polys):
+            for c in spatial.ring_cell_cover(p["ring_lat"], p["ring_lon"], z):
+                self.cover.setdefault(int(c), []).append(i)
+
+    def join_batch(self, lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (point_idx, poly_id) pairs for containment matches."""
+        cells = spatial.lonlat_to_cell(lat, lon, self.z)
+        # group points by candidate polygon: poly -> point indices
+        cand: dict[int, list[int]] = {}
+        # vectorize the cell→poly lookup by grouping equal cells first
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        bounds = np.flatnonzero(np.diff(sorted_cells)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells)]])
+        for s, e in zip(starts, ends):
+            plist = self.cover.get(int(sorted_cells[s]))
+            if not plist:
+                continue
+            pts = order[s:e]
+            for pi in plist:
+                cand.setdefault(pi, []).append(pts)
+        out_pts, out_polys = [], []
+        for pi, chunks in cand.items():
+            pts = np.concatenate(chunks)
+            p = self.polys[pi]
+            inside = spatial.points_in_ring(lat[pts], lon[pts], p["ring_lat"], p["ring_lon"])
+            hit = pts[inside]
+            if len(hit):
+                out_pts.append(hit)
+                out_polys.append(np.full(len(hit), p["poly_id"], dtype=np.int64))
+        if not out_pts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_pts), np.concatenate(out_polys)
+
+
+class SpatialJoinStage:
+    """Actor-pool map_batches stage: emit one row per (point, polygon) hit.
+
+    ``polys_ref`` is ``ray.put(polygon_arrays(tbl))`` — fetched from the
+    local object store once per actor, NOT per batch.
+    """
+
+    def __init__(self, polys_ref, z: int = 12, id_col: str = "image_id"):
+        self.index = PolygonIndex(ray.get(polys_ref), z)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        pts, polys = self.index.join_batch(lat, lon)
+        taken = batch.take(pa.array(pts))
+        return taken.append_column("poly_id", pa.array(polys, type=pa.int64()))
+
+
+def spatial_join(
+    points_ds,
+    polygons: pa.Table,
+    z: int = 12,
+    id_col: str = "image_id",
+    concurrency: int | tuple = 4,
+):
+    """points × polygons containment join (Dataset → Dataset)."""
+    polys_ref = ray.put(polygon_arrays(polygons))
+    return points_ds.map_batches(
+        SpatialJoinStage,
+        fn_constructor_kwargs={"polys_ref": polys_ref, "z": z, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+class KnnStage:
+    """Actor-pool stage: k nearest reference points for each batch row.
+
+    The reference-point index (CellPointIndex) is built once per actor
+    from a broadcast array; per row we do a k-ring candidate lookup +
+    exact haversine refine — the engine's H3-kRing-expansion kNN.
+    """
+
+    def __init__(self, ref_points_ref, k: int = 5, z: int = 9):
+        ids, lat, lon = ray.get(ref_points_ref)
+        self.index = spatial.CellPointIndex(ids, lat, lon, z=z)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        nn_ids = np.empty((len(lat), self.k), dtype=np.int64)
+        nn_d = np.empty((len(lat), self.k))
+        for i in range(len(lat)):
+            ids, d = self.index.knn(float(lat[i]), float(lon[i]), self.k)
+            # pad when fewer than k indexed points exist
+            nn_ids[i, : len(ids)] = ids
+            nn_ids[i, len(ids) :] = -1
+            nn_d[i, : len(d)] = d
+            nn_d[i, len(d) :] = np.inf
+        return batch.append_column(
+            "nn_ids", pa.array(list(nn_ids), type=pa.list_(pa.int64()))
+        ).append_column("nn_dist_m", pa.array(list(nn_d), type=pa.list_(pa.float64())))
+
+
+def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9, concurrency=4):
+    ref = ray.put((np.asarray(ref_ids), np.asarray(ref_lat), np.asarray(ref_lon)))
+    return points_ds.map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"ref_points_ref": ref, "k": k, "z": z},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,100 @@
+"""Raster↔vector tile assignment + skew-aware tile statistics.
+
+Engine-new operators (SURVEY.md §2.12). Tile assignment is a stateless
+per-batch map (pure arithmetic); tile statistics are the canonical
+partial+final aggregation: counts are combined INSIDE each batch first
+(one output row per distinct tile per batch), so the shuffle moves
+#distinct-tiles rows instead of #input rows — the same contract as the
+reference's par_map_reduce partials (/root/reference/src/reader.rs:119-142).
+
+Skew: dense urban cells are heavy-tailed. The partial-aggregate shape is
+itself the skew fix for counts/sums (a hot tile contributes ≤1 row per
+batch regardless of its row count). For non-combinable per-tile work
+(``map_groups``), ``salted_groupby_count`` demonstrates explicit salting:
+hot keys split across ``n_salt`` sub-keys, aggregated twice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmpbf_ray.stages import spatial
+
+
+def assign_tiles(batch: pa.Table, z: int, lat_col="lat", lon_col="lon") -> pa.Table:
+    """map_batches fn: add tile_z/tile_x/tile_y/tile (packed) columns."""
+    lat = batch.column(lat_col).to_numpy()
+    lon = batch.column(lon_col).to_numpy()
+    x, y = spatial.lonlat_to_tile(lat, lon, z)
+    return (
+        batch.append_column("tile_z", pa.array(np.full(len(x), z, dtype=np.int32)))
+        .append_column("tile_x", pa.array(x))
+        .append_column("tile_y", pa.array(y))
+        .append_column("tile", pa.array(spatial.pack_cell(z, x, y)))
+    )
+
+
+def partial_tile_counts(batch: pa.Table, tile_col: str = "tile") -> pa.Table:
+    """Combiner: one (tile, partial_count) row per distinct tile per batch."""
+    tiles = batch.column(tile_col).to_numpy()
+    uniq, counts = np.unique(tiles, return_counts=True)
+    return pa.table({tile_col: uniq, "partial_count": counts.astype(np.int64)})
+
+
+def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon"):
+    """Dataset of (tile, tile_z, tile_x, tile_y, n) — rows per tile.
+
+    Pipeline: assign → per-batch combine → small groupby-sum. The groupby
+    shuffles only the pre-aggregated partials.
+    """
+    from ray.data.aggregate import Sum
+
+    assigned = points_ds.map_batches(
+        lambda b: assign_tiles(b, z, lat_col, lon_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = assigned.map_batches(
+        partial_tile_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("tile").aggregate(Sum("partial_count", alias_name="n"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        zz, x, y = spatial.unpack_cell(batch.column("tile").to_numpy())
+        return (
+            batch.append_column("tile_z", pa.array(zz.astype(np.int32)))
+            .append_column("tile_x", pa.array(x))
+            .append_column("tile_y", pa.array(y))
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def salted_groupby_count(ds, key_col: str, n_salt: int = 8):
+    """Two-phase salted aggregation for skewed keys.
+
+    Phase 1 groups by (key, salt) — a hot key's rows split across
+    ``n_salt`` reducers; phase 2 merges the per-salt partials. Use this
+    shape whenever per-group work can't be pre-combined per batch.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # deterministic salt from a secondary hash so reruns agree
+        k = batch.column(key_col).to_numpy().astype(np.uint64)
+        salt = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(n_salt)
+        return batch.append_column("_salt", pa.array(salt.astype(np.int64)))
+
+    phase1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "_salt"])
+        .aggregate(Count(alias_name="partial_n"))
+    )
+    return phase1.groupby(key_col).aggregate(Sum("partial_n", alias_name="n"))
+
+
+def top_k_tiles(points_ds, z: int, k: int):
+    """Top-k densest tiles: aggregate first (small), then sort+limit."""
+    stats = tile_stats(points_ds, z)
+    return stats.sort(["n", "tile"], descending=[True, False]).limit(k)

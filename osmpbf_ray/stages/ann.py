@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column: brute-force cosine top-k
+baseline + IVF (coarse-quantizer) scale path.
+
+Shape for 100 TB: the query matrix is SMALL and broadcast once
+(``ray.put``); the embedding table STREAMS through ``map_batches``. Each
+batch computes a (batch × queries) matmul and emits only its local top-k
+per query (partial), so the final reduce sees #batches × k rows, not the
+table. That is the same partial+final contract as the reference's
+par_map_reduce (/root/reference/src/reader.rs:119-142).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        qids, qvecs = ray.get(queries_ref)
+        self.qids = np.asarray(qids)
+        self.q = _unit(np.asarray(qvecs, dtype=np.float64))
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        vecs = _unit(
+            np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        )
+        sim = vecs @ self.q.T  # (batch, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sim, k - 1, axis=0)[:k]  # (k, nq)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sim.shape[1]):
+            rows = top[:, qi]
+            out_q.append(np.full(k, self.qids[qi]))
+            out_id.append(ids[rows])
+            out_sim.append(sim[rows, qi])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                self.id_col: np.concatenate(out_id),
+                "cosine": np.concatenate(out_sim),
+            }
+        )
+
+
+def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id",
+                     vec_col="embedding", concurrency=4):
+    """Global top-k per query: streamed partials + tiny per-query final
+    reduce (groupby over ≤ #batches×k rows)."""
+    ref = ray.put((np.asarray(query_ids), np.asarray(query_vecs, dtype=np.float64)))
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+# --- IVF: coarse k-means quantizer + probed search --------------------------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 13) -> np.ndarray:
+    """Mini k-means on a driver-side sample (Lloyd, deterministic seed)."""
+    rng = np.random.default_rng(seed)
+    sample = _unit(np.asarray(sample, dtype=np.float64))
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+class IvfAssignStage:
+    def __init__(self, centroids_ref, vec_col: str):
+        self.cent = ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        assign = (vecs @ self.cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(assign))
+
+
+def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
+             id_col="vec_id", vec_col="embedding", sample_size=2048,
+             concurrency=4, seed=13):
+    """IVF search: assign rows to coarse lists once, search only the
+    ``n_probe`` lists nearest each query. Approximate (recall < 1 when the
+    true neighbor's list isn't probed) — the scale path next to
+    ``brute_force_topk``'s exact baseline."""
+    sample_rows = ds.select_columns([vec_col]).take(sample_size)
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    cent = train_centroids(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    assigned = ds.map_batches(
+        IvfAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    q = _unit(np.asarray(query_vecs, dtype=np.float64))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # invert: list -> query rows probing it
+    probe_map: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probes):
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(qi)
+    probe_ref = ray.put((np.asarray(query_ids), q, probe_map))
+
+    class ProbedTopK:
+        def __init__(self):
+            self.qids, self.q, self.probe_map = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy()
+            lists = batch.column("ivf_list").to_numpy()
+            vecs = _unit(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            out_q, out_id, out_sim = [], [], []
+            for li in np.unique(lists):
+                qrows = self.probe_map.get(int(li))
+                if not qrows:
+                    continue
+                rows = np.flatnonzero(lists == li)
+                sim = vecs[rows] @ self.q[qrows].T
+                kk = min(k, len(rows))
+                top = np.argpartition(-sim, kk - 1, axis=0)[:kk]
+                for j, qi in enumerate(qrows):
+                    out_q.append(np.full(kk, self.qids[qi]))
+                    out_id.append(ids[rows[top[:, j]]])
+                    out_sim.append(sim[top[:, j], j])
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], type=pa.int64()),
+                     id_col: pa.array([], type=pa.int64()),
+                     "cosine": pa.array([], type=pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine": np.concatenate(out_sim),
+                }
+            )
+
+    partials = assigned.map_batches(
+        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")

