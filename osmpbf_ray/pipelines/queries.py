@@ -1,0 +1,637 @@
+"""Driver-facing query registry: every operator family from SURVEY.md §2
+expressed as a Ray Data pipeline over the testdata tables, each with an
+ANSI-SQL DuckDB oracle where the semantics are SQL-expressible.
+
+Each query is a callable ``fn(sf_dir) -> Dataset | pa.Table``; the SQL
+oracle (when present) computes the identical result — same column NAMES
+and value semantics — so the driver's order-insensitive value-hash
+matches. Float-producing queries use integer-exact encodings (cents /
+basis points) or a shared explicit rounding convention
+(``round_half_away``, matching DuckDB's ``round``).
+
+The derived-coordinate convention (shared by the spatial queries and
+their oracles): customer rows are given deterministic lat/lon via pure
+integer arithmetic on ``c_custkey``, so numpy and DuckDB compute
+bit-identical float64 values:
+
+    lat = ((c_custkey*9301 + 49297) % 120000)/1000 - 60    ∈ [-60, 60)
+    lon = ((c_custkey*7901 +  1237) % 360000)/1000 - 180   ∈ [-180, 180)
+
+Reference parity: the map-reduce counter queries mirror
+/root/reference/src/reader.rs:119-142 and examples/count.rs; the
+semi-join mirrors /root/reference/src/indexed.rs:264-330; coordinate
+and delta decode mirror src/elements.rs:84-111 and src/dense.rs:86-183.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from osmpbf_ray.functions import joins, mapreduce
+from osmpbf_ray.pipelines import flagship as flagship_mod
+from osmpbf_ray.pipelines import spatial_join as sj
+from osmpbf_ray.pipelines import tiles as tiles_mod
+from osmpbf_ray.sources import fixtures
+from osmpbf_ray.stages import ann, coords, dedup, spatial, tags, text
+from osmpbf_ray.stages.image import ImageDecoder
+
+# --- shared helpers ---------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned streaming read (only requested columns leave storage)."""
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round_half_away(arr: np.ndarray, d: int) -> np.ndarray:
+    """Round half away from zero — DuckDB's ``round`` (numpy rounds half
+    to even, which would hash-mismatch the oracle on exact .5 digits)."""
+    s = 10.0 ** d
+    return np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s
+
+
+def _derived_coords(ck: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lat = ((ck * 9301 + 49297) % 120000) / 1000.0 - 60.0
+    lon = ((ck * 7901 + 1237) % 360000) / 1000.0 - 180.0
+    return lat, lon
+
+
+_LAT_SQL = "(((c_custkey*9301+49297) % 120000)/1000.0 - 60.0)"
+_LON_SQL = "(((c_custkey*7901+1237) % 360000)/1000.0 - 180.0)"
+_PTS_CTE = (
+    f"WITH pts AS (SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM customer)"
+)
+
+
+def _customer_points(sf_dir: str):
+    """customer keyed points with the derived deterministic coordinates."""
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        lat, lon = _derived_coords(ck)
+        return batch.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        add_coords, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- 1. count (par_map_reduce flagship use, reader.rs:119-142) --------------
+
+
+def q_count_all(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+    n = mapreduce.count_elements(ds)
+    return pa.table({"n": pa.array([n], type=pa.int64())})
+
+
+# --- 2. per-kind tallies (examples/count.rs partial+final shape) ------------
+
+
+def q_tally_returnflag(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(
+            batch.column("l_returnflag").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table({"l_returnflag": uniq, "partial_n": counts.astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
+# --- 3. tag-predicate filter (indexed.rs:264-299 / examples/indexed.rs) -----
+
+
+def q_filter_tag_lang(sf_dir: str):
+    """Build the reference's map<string,string> tag column, filter by
+    ("lang","en") with the engine's tag machinery, project two columns."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def to_tagged(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        langs = batch.column("lang").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 2)
+        entries = pa.StructArray.from_arrays(
+            [
+                pa.array(["lang", "source"] * n),
+                pa.array([v for pair in zip(langs, srcs) for v in pair]),
+            ],
+            names=["key", "value"],
+        )
+        tag_col = pa.ListArray.from_arrays(offsets, entries)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_chars": batch.column("n_chars"), "tags": tag_col}
+        )
+
+    tagged = ds.map_batches(to_tagged, batch_format="pyarrow", zero_copy_batch=True)
+    filtered = tagged.map_batches(
+        lambda b: tags.filter_by_tag(b, "lang", "en"), batch_format="pyarrow"
+    )
+    return filtered.select_columns(["doc_id", "n_chars"])
+
+
+# --- 4. ways→deps semi-join (indexed.rs:264-330) ----------------------------
+
+
+def q_semi_join_deps(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def to_ways(batch: pa.Table) -> pa.Table:
+        refs = pa.ListArray.from_arrays(
+            pa.array(np.arange(batch.num_rows + 1, dtype=np.int32)),
+            pa.array(batch.column("o_custkey").to_numpy(), type=pa.int64()),
+        )
+        return pa.table(
+            {
+                "id": batch.column("o_orderkey"),
+                "refs": refs,
+                "priority": batch.column("o_orderpriority"),
+            }
+        )
+
+    ways = orders.map_batches(to_ways, batch_format="pyarrow", zero_copy_batch=True)
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["priority"], "1-URGENT"))
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch.column("c_custkey"),
+                "c_name": batch.column("c_name"),
+                "c_acctbal": batch.column("c_acctbal"),
+            }
+        )
+
+    nodes = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        to_nodes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    _ways_tbl, deps = joins.ways_and_deps(ways, nodes, urgent)
+    return deps
+
+
+# --- 5. partitioned hash join ----------------------------------------------
+
+
+def q_hash_join(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey", "c_name", "nationkey"]),
+        batch_format="pyarrow",
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
+        lambda b: b.rename_columns(["nationkey", "n_name"]), batch_format="pyarrow"
+    )
+    joined = joins.partitioned_hash_join(cust, nation, key="nationkey", n_buckets=8)
+    return joined.select_columns(["c_custkey", "c_name", "nationkey", "n_name"])
+
+
+# --- 6. coordinate scaling (elements.rs:84-111, granularity codec) ----------
+
+
+def q_coord_decode(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def decode(batch: pa.Table) -> pa.Table:
+        nano = coords.stored_to_nano(batch["l_partkey"], granularity=100, offset=5)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_linenumber": batch.column("l_linenumber"),
+                "nano": nano,
+                "degree": coords.nano_to_degree(nano),
+                "decimicro": coords.nano_to_decimicro(nano),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- 7. delta decode (running sums, dense.rs:86-183) ------------------------
+
+
+def q_delta_decode(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def cumsum_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        g["running_sum"] = np.cumsum(g["event_id"].to_numpy(), dtype=np.int64)
+        return g
+
+    return ds.groupby("user_id").map_groups(cumsum_group, batch_format="pandas")
+
+
+# --- 8. grouped aggregation (partial+final; integer-exact money) ------------
+
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["base_cents"] = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["disc_bp"] = np.round(df["l_discount"].to_numpy() * 10000).astype(np.int64)
+        df["qty"] = df["l_quantity"].to_numpy().astype(np.int64)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                p_qty=("qty", "sum"),
+                p_cents=("base_cents", "sum"),
+                p_bp=("disc_bp", "sum"),
+                p_n=("qty", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_cents", alias_name="sum_base_cents"),
+            Sum("p_bp", alias_name="sum_disc_bp"),
+            Sum("p_n", alias_name="n"),
+        )
+    )
+    return agg
+
+
+# --- 9. top-k (sort + limit) ------------------------------------------------
+
+
+def q_top_k_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# --- 10. distinct -----------------------------------------------------------
+
+
+def q_distinct_pairs(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .count()
+        .select_columns(["l_returnflag", "l_linestatus"])
+    )
+
+
+# --- 11. exact dedup (md5-keyed, keep-first) --------------------------------
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(dedup.add_md5_column, batch_format="pyarrow", zero_copy_batch=True)
+    kept = dedup.exact_dedup(hashed, "text_md5", "doc_id")
+    return kept.select_columns(["doc_id", "text_md5"])
+
+
+# --- 12/13. tile assignment + per-tile stats (engine-new, §2.12) ------------
+
+
+def q_tile_assign(sf_dir: str):
+    pts = _customer_points(sf_dir)
+    assigned = pts.map_batches(
+        lambda b: tiles_mod.assign_tiles(b, z=6), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return assigned.select_columns(["c_custkey", "tile_x", "tile_y"])
+
+
+def q_tile_stats(sf_dir: str):
+    stats = tiles_mod.tile_stats(_customer_points(sf_dir), z=6)
+    return stats.select_columns(["tile_x", "tile_y", "n"])
+
+
+# --- 14. point-in-polygon (ray casting; triangle oracle via half-planes) ----
+
+_TRI_LAT = np.array([-30.000137, 45.000211, 10.000173, -30.000137])
+_TRI_LON = np.array([-100.000291, -20.000157, 120.000219, -100.000291])
+
+
+def q_pip_triangle(sf_dir: str):
+    pts = _customer_points(sf_dir)
+
+    def pip(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        inside = spatial.points_in_ring(lat, lon, _TRI_LAT, _TRI_LON)
+        return batch.filter(pa.array(inside)).select(["c_custkey"])
+
+    return pts.map_batches(pip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- 15. kNN over embeddings (brute-force cosine top-k baseline) ------------
+
+
+def _query_vectors(sf_dir: str, n: int = 3):
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    tbl = tbl.filter(pc.less(tbl["vec_id"], n))
+    return tbl.column("vec_id").to_numpy(), np.array(
+        tbl.column("embedding").to_pylist(), dtype=np.float64
+    )
+
+
+def q_knn_embeddings(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    topk = ann.brute_force_topk(ds, qids, qvecs, k=10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id"),
+                "vec_id": batch.column("vec_id"),
+                "sim": pa.array(round_half_away(batch.column("cosine").to_numpy(), 9)),
+            }
+        )
+
+    return topk.map_batches(finish, batch_format="pyarrow")
+
+
+# --- 16. spatial join against bbox polygons (flagship join, SQL oracle) -----
+
+_BBOXES = [
+    (1, -45.0007, 10.0003, -120.0009, -30.0001),
+    (2, 0.0004, 55.0008, -10.0006, 80.0002),
+    (3, -20.0002, 35.0009, 60.0004, 170.0008),
+    (4, 30.0001, 59.0006, -170.0003, -100.0007),
+]
+
+
+def _bbox_polygons() -> pa.Table:
+    rows = []
+    for pid, ymin, ymax, xmin, xmax in _BBOXES:
+        ring = [
+            {"lat": ymin, "lon": xmin},
+            {"lat": ymax, "lon": xmin},
+            {"lat": ymax, "lon": xmax},
+            {"lat": ymin, "lon": xmax},
+            {"lat": ymin, "lon": xmin},
+        ]
+        rows.append({"poly_id": pid, "ring": ring})
+    return pa.Table.from_pylist(rows)
+
+
+def q_spatial_join_bbox(sf_dir: str):
+    pts = _customer_points(sf_dir)
+    joined = sj.spatial_join(pts, _bbox_polygons(), z=6, id_col="c_custkey", concurrency=2)
+    return joined.select_columns(["c_custkey", "poly_id"])
+
+
+# --- 17. whitespace token count (SQL-oracled text op) -----------------------
+
+
+def q_token_count_ws(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_ws(batch: pa.Table) -> pa.Table:
+        n = [len(str(t).split()) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_ws_tokens": pa.array(n, type=pa.int64())}
+        )
+
+    return ds.map_batches(count_ws, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- rows-only queries (non-SQL-expressible; driver checks rows/schema) -----
+
+
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.LangIdStage, batch_format="pandas", concurrency=2).select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def q_quality_score(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(text.QualityStage, batch_format="pandas", concurrency=2).select_columns(
+        ["doc_id", "q_n_chars", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_mean_word_len"]
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        text.FingerprintStage, batch_format="pandas", concurrency=2
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_candidate_pairs(ds, threshold=0.5, concurrency=2)
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas", concurrency=2)
+    return dedup.hamming_near_dup_pairs(hashed, "simhash", "doc_id", max_dist=16)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.9, concurrency=2)
+    # pair sets are tiny (bounded by true near-dups); materialize so the
+    # zero-pair case still returns a stable typed schema
+    import ray as _ray
+
+    tbls = [t for t in _ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        }
+    )
+    return pa.concat_tables(tbls, promote_options="default") if tbls else empty
+
+
+def q_ivf_knn(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ann.ivf_topk(ds, qids, qvecs, k=10, n_centroids=8, n_probe=4, concurrency=2)
+
+
+def _synth_images(sf_dir: str) -> pa.Table:
+    """Deterministic image table scaled to the sf (capped; wide binary
+    rows are the payload, not the bottleneck, in the correctness run)."""
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return fixtures.make_images(n=min(256, max(64, n_docs // 4)), seed=42)
+
+
+def q_phash_dedup(sf_dir: str):
+    images = rd.from_arrow(_synth_images(sf_dir))
+    kept = dedup.phash_exact_dedup(images)
+    return kept.select_columns(["image_id", "phash"])
+
+
+def q_image_decode(sf_dir: str):
+    images = rd.from_arrow(_synth_images(sf_dir))
+    decoded = images.map_batches(
+        ImageDecoder, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=2
+    )
+    return decoded.select_columns(["image_id", "phash", "phash_decoded", "decode_error"])
+
+
+def q_knn_join_geo(sf_dir: str):
+    pts = _customer_points(sf_dir)
+    ref = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = ref.column("s_suppkey").to_numpy()
+    rlat, rlon = _derived_coords(sk * 7 + 3)
+    out = sj.knn_join(pts, sk, rlat, rlon, k=3, z=5, concurrency=2)
+    return out.select_columns(["c_custkey", "nn_ids", "nn_dist_m"])
+
+
+def q_flagship(sf_dir: str):
+    images = rd.from_arrow(_synth_images(sf_dir))
+    res = flagship_mod.run_flagship(
+        images,
+        fixtures.make_polygons(12),
+        z_join=12,
+        z_tile=6,
+        decoder_concurrency=2,
+        join_concurrency=2,
+    )
+    return res["joined"].select_columns(["image_id", "poly_id", "phash", "decode_error"])
+
+
+# --- registry ---------------------------------------------------------------
+
+
+def queries() -> dict:
+    return {
+        "count_all": q_count_all,
+        "tally_returnflag": q_tally_returnflag,
+        "filter_tag_lang": q_filter_tag_lang,
+        "semi_join_deps": q_semi_join_deps,
+        "hash_join": q_hash_join,
+        "coord_decode": q_coord_decode,
+        "delta_decode": q_delta_decode,
+        "pricing_summary": q_pricing_summary,
+        "top_k_orders": q_top_k_orders,
+        "distinct_pairs": q_distinct_pairs,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "tile_assign": q_tile_assign,
+        "tile_stats": q_tile_stats,
+        "pip_triangle": q_pip_triangle,
+        "knn_embeddings": q_knn_embeddings,
+        "spatial_join_bbox": q_spatial_join_bbox,
+        "token_count_ws": q_token_count_ws,
+        # rows-only (non-SQL-expressible)
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ivf_knn": q_ivf_knn,
+        "phash_dedup": q_phash_dedup,
+        "image_decode": q_image_decode,
+        "knn_join_geo": q_knn_join_geo,
+        "flagship": q_flagship,
+    }
+
+
+def _tile_sql(z: int = 6) -> tuple[str, str]:
+    return spatial.tile_sql_exprs("lat", "lon", z)
+
+
+def oracle_sql() -> dict:
+    xe, ye = _tile_sql(6)
+    tri = [(float(x), float(y)) for x, y in zip(_TRI_LON[:3], _TRI_LAT[:3])]
+    hp = []
+    for i in range(3):
+        x1, y1 = tri[i]
+        x2, y2 = tri[(i + 1) % 3]
+        hp.append(
+            f"((({x2!r})-({x1!r}))*(lat-({y1!r})) - (({y2!r})-({y1!r}))*(lon-({x1!r})))"
+        )
+    pip_cond = (
+        f"(({hp[0]}>0 AND {hp[1]}>0 AND {hp[2]}>0) OR ({hp[0]}<0 AND {hp[1]}<0 AND {hp[2]}<0))"
+    )
+    bbox_values = ", ".join(
+        f"({pid}, {ymin!r}, {ymax!r}, {xmin!r}, {xmax!r})"
+        for pid, ymin, ymax, xmin, xmax in _BBOXES
+    )
+    return {
+        "count_all": "SELECT count(*) AS n FROM lineitem",
+        "tally_returnflag": (
+            "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        ),
+        "filter_tag_lang": "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+        "semi_join_deps": (
+            "SELECT c_custkey AS id, c_name, c_acctbal FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "hash_join": (
+            "SELECT c_custkey, c_name, c_nationkey AS nationkey, n_name "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "coord_decode": (
+            "SELECT l_orderkey, l_linenumber, 5 + 100*l_partkey AS nano, "
+            "CAST(5 + 100*l_partkey AS DOUBLE) * 1e-9 AS degree, "
+            "(5 + 100*l_partkey) // 100 AS decimicro FROM lineitem"
+        ),
+        "delta_decode": (
+            "SELECT event_id, user_id, CAST(SUM(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS running_sum FROM events"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(round(l_discount*10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_k_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "distinct_pairs": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "exact_dedup_docs": (
+            "SELECT min(doc_id) AS doc_id, md5(text) AS text_md5 "
+            "FROM documents GROUP BY md5(text)"
+        ),
+        "tile_assign": (
+            f"{_PTS_CTE} SELECT c_custkey, {xe} AS tile_x, {ye} AS tile_y FROM pts"
+        ),
+        "tile_stats": (
+            f"{_PTS_CTE} SELECT tile_x, tile_y, CAST(count(*) AS BIGINT) AS n FROM "
+            f"(SELECT {xe} AS tile_x, {ye} AS tile_y FROM pts) GROUP BY tile_x, tile_y"
+        ),
+        "pip_triangle": f"{_PTS_CTE} SELECT c_custkey FROM pts WHERE {pip_cond}",
+        "knn_embeddings": (
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 9) AS sim "
+            "FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY sim DESC, e.vec_id) <= 10"
+        ),
+        "spatial_join_bbox": (
+            f"{_PTS_CTE}, polys(poly_id, ymin, ymax, xmin, xmax) AS (VALUES {bbox_values}) "
+            "SELECT p.c_custkey, CAST(polys.poly_id AS BIGINT) AS poly_id FROM pts p "
+            "JOIN polys ON p.lat >= ymin AND p.lat < ymax AND p.lon >= xmin AND p.lon < xmax"
+        ),
+        "token_count_ws": (
+            r"SELECT doc_id, CAST(length(list_filter(regexp_split_to_array(text, '\s+'), "
+            "x -> x <> '')) AS BIGINT) AS n_ws_tokens FROM documents"
+        ),
+    }

@@ -133,7 +133,7 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
         g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         sigs = np.array(g["sig"].tolist(), dtype=np.int64)
@@ -222,7 +222,7 @@ def hamming_near_dup_pairs(ds, hash_col: str, id_col: str, max_dist: int = 8,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
         g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
         hs = g[hash_col].to_numpy().astype(np.int64)
@@ -314,7 +314,7 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
         g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         vecs = np.array(g["vec"].tolist())
