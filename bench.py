@@ -1,0 +1,258 @@
+"""Benchmark harness — headline spatial-join + tile-assignment pipeline
+plus representative operator timings over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline_rows": N, "rows_per_sec": N}
+
+--scaling: runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32 by default) on the same input and reports
+both throughputs + scaling efficiency (the sandbox proxy for the north
+rule's N vs 4N node clusters).
+
+Input for the headline is a deterministic synthetic image+caption table
+(BASELINE.json input_hint schema) generated IN PARALLEL through Ray Data
+once and cached as parquet under /tmp — generation is excluded from the
+measured time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "400000"))
+SEED = 42
+CACHE = f"/tmp/osmpbf_ray_bench/images_n{N_IMAGES}_s{SEED}"
+
+_URBAN = [
+    (40.71, -74.00), (51.50, -0.12), (35.68, 139.69), (19.43, -99.13),
+    (-23.55, -46.63), (28.61, 77.20), (1.29, 103.85), (48.85, 2.35),
+]
+
+
+def _gen_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic per-index image rows (seeded by row index, so any
+    partitioning of the index range yields identical content)."""
+    from osmpbf_ray.sources.fixtures import _synth_pixels
+    from osmpbf_ray.stages import image as img
+
+    idx = batch.column("idx").to_numpy()
+    rows = {k: [] for k in
+            ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lon")}
+    for i in idx:
+        rng = np.random.default_rng(SEED + int(i))
+        h = w = int([16, 32, 32, 64][int(i) % 4])
+        px = _synth_pixels(rng, h, w, int(i))
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        data = img.encode_png(px) if fmt == "png" else img.encode_lossy(px, 0.6)
+        decoded = px if fmt == "png" else img.decode_lossy(data)
+        if rng.random() < 0.8:  # skewed urban clusters
+            alat, alon = _URBAN[int(rng.integers(0, len(_URBAN)))]
+            lat = alat + float(rng.normal(0, 0.02))
+            lon = alon + float(rng.normal(0, 0.02))
+        else:
+            lat = float(rng.uniform(-60, 70))
+            lon = float(rng.uniform(-179, 179))
+        rows["image_id"].append(f"img{int(i):012d}")
+        rows["bytes"].append(data)
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["fmt"].append(fmt)
+        rows["caption"].append(f"synthetic scene {int(i)} near ({lat:.3f},{lon:.3f})")
+        rows["phash"].append(img.phash64(decoded))
+        rows["lat"].append(lat)
+        rows["lon"].append(lon)
+    return pa.table(
+        {
+            "image_id": pa.array(rows["image_id"]),
+            "bytes": pa.array(rows["bytes"], type=pa.binary()),
+            "w": pa.array(rows["w"], type=pa.int32()),
+            "h": pa.array(rows["h"], type=pa.int32()),
+            "fmt": pa.array(rows["fmt"]),
+            "caption": pa.array(rows["caption"]),
+            "phash": pa.array(rows["phash"], type=pa.int64()),
+            "lat": pa.array(rows["lat"], type=pa.float64()),
+            "lon": pa.array(rows["lon"], type=pa.float64()),
+        }
+    )
+
+
+def ensure_images() -> str:
+    import ray.data as rd
+
+    if os.path.isdir(CACHE) and any(f.endswith(".parquet") for f in os.listdir(CACHE)):
+        return CACHE
+    os.makedirs(CACHE, exist_ok=True)
+    idx = rd.range(N_IMAGES).map_batches(
+        lambda b: pa.table({"idx": pa.array(b["id"], type=pa.int64())}),
+        batch_format="numpy",
+    )
+    idx.map_batches(_gen_batch, batch_format="pyarrow", batch_size=512).repartition(
+        32
+    ).write_parquet(CACHE)
+    return CACHE
+
+
+def run_headline() -> tuple[float, int]:
+    """images parquet → decode actor pool → spatial join → tile assign →
+    pre-aggregated tile stats. Returns (elapsed_sec, input_rows)."""
+    import ray.data as rd
+
+    from osmpbf_ray.pipelines import tiles as tiles_mod
+    from osmpbf_ray.pipelines.spatial_join import spatial_join
+    from osmpbf_ray.sources import fixtures
+    from osmpbf_ray.stages.image import ImageDecoder
+
+    path = ensure_images()
+    polygons = fixtures.make_polygons(30)
+    t0 = time.time()
+    ds = rd.read_parquet(path)
+    # elastic task-based stages (no pool sizing: fixed actor pools either
+    # deadlock when they sum to the cluster size or idle when undersized;
+    # the decoder is stateless and the join caches its index per worker)
+    decoded = ds.map_batches(
+        ImageDecoder(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+    )
+    joined = spatial_join(decoded, polygons, z=12)
+    # per-batch tile partials + driver final (par_map_reduce shape; the
+    # partial set is ≤ #distinct-tiles × #blocks rows — a shuffle here
+    # costs more than the data)
+    stats = tiles_mod.tile_stats(joined, z=8, final="driver")
+    total = sum(b["n"].sum() for b in stats.iter_batches(batch_format="pandas"))
+    elapsed = time.time() - t0
+    assert total > 0
+    return elapsed, N_IMAGES
+
+
+BENCH_QUERIES = [
+    "count_all",
+    "pricing_summary",
+    "semi_join_deps",
+    "hash_join",
+    "delta_decode",
+    "exact_dedup_docs",
+    "tile_stats",
+    "pip_triangle",
+    "spatial_join_bbox",
+    "knn_embeddings",
+    "token_count_ws",
+    "minhash_pairs",
+]
+
+
+def run_queries() -> dict[str, float]:
+    from osmpbf_ray.pipelines import queries as q
+
+    reg = q.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = reg[name](SF_DIR)
+        if hasattr(res, "iter_batches"):  # consume the stream
+            n = sum(b.num_rows for b in res.iter_batches(batch_format="pyarrow"))
+        else:
+            n = res.num_rows if hasattr(res, "num_rows") else len(res)
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        thr8 = results[8]["rows_per_sec"]
+        thr32 = results[32]["rows_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (8 vs 32 cpus, fresh processes)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "rows_per_sec_8": round(thr8, 1),
+                    "rows_per_sec_32": round(thr32, 1),
+                    "sec_8": results[8]["value"],
+                    "sec_32": results[32]["value"],
+                    "headline_rows": results[32]["headline_rows"],
+                }
+            )
+        )
+        return
+
+    # pin the WHOLE process tree (driver, raylet, workers inherit this)
+    # to NUM_CPUS cores: without it a num_cpus=8 run still spends extra
+    # silicon on the driver/object store, overstating low-parallelism
+    # throughput and understating scaling efficiency
+    try:
+        total = os.cpu_count() or NUM_CPUS
+        if NUM_CPUS < total:
+            os.sched_setaffinity(0, set(range(NUM_CPUS)))
+    except (AttributeError, OSError):
+        pass
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    # repeat and take the fastest run: the first pays worker/import
+    # warm-up, and the sandbox has bursty external contention — min is
+    # the cleanest capability estimate for a steady-state cluster job
+    reps = 3 if args.headline_only else 2
+    runs = [run_headline() for _ in range(reps)]
+    elapsed, nrows = min(runs)
+    result = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "headline_rows": nrows,
+        "rows_per_sec": round(nrows / elapsed, 1),
+    }
+    if not args.headline_only:
+        result["queries"] = run_queries()
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -102,22 +102,48 @@ class SpatialJoinStage:
         return taken.append_column("poly_id", pa.array(polys, type=pa.int64()))
 
 
+# per-worker-process index cache for the task-based join path: tasks are
+# elastic (no pool sizing), yet the index still builds once per worker
+_TASK_INDEX_CACHE: dict = {}
+
+
 def spatial_join(
     points_ds,
     polygons: pa.Table,
     z: int = 12,
     id_col: str = "image_id",
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple | None = None,
 ):
-    """points × polygons containment join (Dataset → Dataset)."""
+    """points × polygons containment join (Dataset → Dataset).
+
+    ``concurrency=None`` (default) runs as elastic tasks with a
+    per-worker-process index cache — scales with whatever CPUs are free
+    and can't deadlock against other pools. Pass an int/tuple to pin an
+    actor pool instead (useful when index build is expensive enough to
+    amortize strictly once per actor).
+    """
     polys_ref = ray.put(polygon_arrays(polygons))
-    return points_ds.map_batches(
-        SpatialJoinStage,
-        fn_constructor_kwargs={"polys_ref": polys_ref, "z": z, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if concurrency is not None:
+        return points_ds.map_batches(
+            SpatialJoinStage,
+            fn_constructor_kwargs={"polys_ref": polys_ref, "z": z, "id_col": id_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+
+    def join_task(batch: pa.Table) -> pa.Table:
+        key = (polys_ref.hex(), z)
+        index = _TASK_INDEX_CACHE.get(key)
+        if index is None:
+            index = _TASK_INDEX_CACHE[key] = PolygonIndex(ray.get(polys_ref), z)
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        pts, polys = index.join_batch(lat, lon)
+        taken = batch.take(pa.array(pts))
+        return taken.append_column("poly_id", pa.array(polys, type=pa.int64()))
+
+    return points_ds.map_batches(join_task, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class KnnStage:

@@ -42,11 +42,17 @@ def partial_tile_counts(batch: pa.Table, tile_col: str = "tile") -> pa.Table:
     return pa.table({tile_col: uniq, "partial_count": counts.astype(np.int64)})
 
 
-def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon"):
+def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon", final: str = "shuffle"):
     """Dataset of (tile, tile_z, tile_x, tile_y, n) — rows per tile.
 
-    Pipeline: assign → per-batch combine → small groupby-sum. The groupby
-    shuffles only the pre-aggregated partials.
+    Pipeline: assign → per-batch combine → small final sum. The final
+    combine sees only pre-aggregated partials (≤ one row per distinct
+    tile per block). ``final="shuffle"`` runs it as a distributed
+    groupby (scale path for huge key spaces); ``final="driver"`` folds
+    the tiny partials on the driver — the reference's par_map_reduce
+    final-reduce shape (/root/reference/src/reader.rs:135-141), right
+    whenever #distinct tiles is small (any z ≤ ~10), and avoids an
+    all-to-all shuffle whose fixed cost dwarfs the data.
     """
     from ray.data.aggregate import Sum
 
@@ -58,7 +64,23 @@ def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon"):
     partials = assigned.map_batches(
         partial_tile_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partials.groupby("tile").aggregate(Sum("partial_count", alias_name="n"))
+    if final == "driver":
+        import pandas as pd
+        import ray.data as rd
+
+        acc = pd.concat(
+            list(partials.iter_batches(batch_format="pandas")),
+            ignore_index=True,
+        )
+        if len(acc) == 0:
+            acc = pd.DataFrame({"tile": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+        else:
+            acc = acc.groupby("tile", as_index=False)["partial_count"].sum().rename(
+                columns={"partial_count": "n"}
+            )
+        agg = rd.from_pandas(acc)
+    else:
+        agg = partials.groupby("tile").aggregate(Sum("partial_count", alias_name="n"))
 
     def unpack(batch: pa.Table) -> pa.Table:
         zz, x, y = spatial.unpack_cell(batch.column("tile").to_numpy())
