@@ -44,7 +44,9 @@ def broadcast_semi_join(ds, key_col: str, keys_ref) -> "ray.data.Dataset":
         def __call__(self, batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch[key_col], value_set=self.keys))
 
-    return ds.map_batches(SemiJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+    return ds.map_batches(
+        SemiJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
 
 
 def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):

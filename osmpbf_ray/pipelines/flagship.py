@@ -32,8 +32,8 @@ def run_flagship(
     z_join: int = 12,
     z_tile: int = 8,
     decode: bool = True,
-    decoder_concurrency: int | tuple = 4,
-    join_concurrency: int | tuple = 4,
+    decoder_concurrency: int | tuple = (1, 4),
+    join_concurrency: int | tuple | None = (1, 4),
 ):
     """Returns {"joined": Dataset, "tile_stats": Dataset}.
 

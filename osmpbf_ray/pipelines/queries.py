@@ -391,7 +391,7 @@ def _bbox_polygons() -> pa.Table:
 
 def q_spatial_join_bbox(sf_dir: str):
     pts = _customer_points(sf_dir)
-    joined = sj.spatial_join(pts, _bbox_polygons(), z=6, id_col="c_custkey", concurrency=2)
+    joined = sj.spatial_join(pts, _bbox_polygons(), z=6, id_col="c_custkey", concurrency=(1, 2))
     return joined.select_columns(["c_custkey", "poly_id"])
 
 
@@ -415,14 +415,14 @@ def q_token_count_ws(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.LangIdStage, batch_format="pandas", concurrency=2).select_columns(
+    return ds.map_batches(text.LangIdStage, batch_format="pandas", concurrency=(1, 2)).select_columns(
         ["doc_id", "lang_pred"]
     )
 
 
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.QualityStage, batch_format="pandas", concurrency=2).select_columns(
+    return ds.map_batches(text.QualityStage, batch_format="pandas", concurrency=(1, 2)).select_columns(
         ["doc_id", "q_n_chars", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_mean_word_len"]
     )
 
@@ -430,24 +430,24 @@ def q_quality_score(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        text.FingerprintStage, batch_format="pandas", concurrency=2
+        text.FingerprintStage, batch_format="pandas", concurrency=(1, 2)
     ).select_columns(["doc_id", "fingerprint"])
 
 
 def q_minhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_candidate_pairs(ds, threshold=0.5, concurrency=2)
+    return dedup.minhash_candidate_pairs(ds, threshold=0.5, concurrency=(1, 2))
 
 
 def q_simhash_pairs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas", concurrency=2)
+    hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas", concurrency=(1, 2))
     return dedup.hamming_near_dup_pairs(hashed, "simhash", "doc_id", max_dist=16)
 
 
 def q_embedding_near_dup(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.9, concurrency=2)
+    pairs = dedup.embedding_near_dup_pairs(ds, threshold=0.9, concurrency=(1, 2))
     # pair sets are tiny (bounded by true near-dups); materialize so the
     # zero-pair case still returns a stable typed schema
     import ray as _ray
@@ -466,7 +466,7 @@ def q_embedding_near_dup(sf_dir: str):
 def q_ivf_knn(sf_dir: str):
     qids, qvecs = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ann.ivf_topk(ds, qids, qvecs, k=10, n_centroids=8, n_probe=4, concurrency=2)
+    return ann.ivf_topk(ds, qids, qvecs, k=10, n_centroids=8, n_probe=4, concurrency=(1, 2))
 
 
 def _synth_images(sf_dir: str) -> pa.Table:
@@ -485,7 +485,7 @@ def q_phash_dedup(sf_dir: str):
 def q_image_decode(sf_dir: str):
     images = rd.from_arrow(_synth_images(sf_dir))
     decoded = images.map_batches(
-        ImageDecoder, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=2
+        ImageDecoder, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=(1, 2)
     )
     return decoded.select_columns(["image_id", "phash", "phash_decoded", "decode_error"])
 
@@ -495,7 +495,7 @@ def q_knn_join_geo(sf_dir: str):
     ref = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
     sk = ref.column("s_suppkey").to_numpy()
     rlat, rlon = _derived_coords(sk * 7 + 3)
-    out = sj.knn_join(pts, sk, rlat, rlon, k=3, z=5, concurrency=2)
+    out = sj.knn_join(pts, sk, rlat, rlon, k=3, z=5, concurrency=(1, 2))
     return out.select_columns(["c_custkey", "nn_ids", "nn_dist_m"])
 
 
@@ -506,8 +506,8 @@ def q_flagship(sf_dir: str):
         fixtures.make_polygons(12),
         z_join=12,
         z_tile=6,
-        decoder_concurrency=2,
-        join_concurrency=2,
+        decoder_concurrency=(1, 2),
+        join_concurrency=(1, 2),
     )
     return res["joined"].select_columns(["image_id", "poly_id", "phash", "decode_error"])
 

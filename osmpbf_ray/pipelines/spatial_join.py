@@ -176,7 +176,7 @@ class KnnStage:
         ).append_column("nn_dist_m", pa.array(list(nn_d), type=pa.list_(pa.float64())))
 
 
-def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9, concurrency=4):
+def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9, concurrency=(1, 4)):
     ref = ray.put((np.asarray(ref_ids), np.asarray(ref_lat), np.asarray(ref_lon)))
     return points_ds.map_batches(
         KnnStage,

@@ -56,7 +56,7 @@ class BruteForceTopK:
 
 
 def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id",
-                     vec_col="embedding", concurrency=4):
+                     vec_col="embedding", concurrency=(1, 4)):
     """Global top-k per query: streamed partials + tiny per-query final
     reduce (groupby over ≤ #batches×k rows)."""
     ref = ray.put((np.asarray(query_ids), np.asarray(query_vecs, dtype=np.float64)))
@@ -106,7 +106,7 @@ class IvfAssignStage:
 
 def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
              id_col="vec_id", vec_col="embedding", sample_size=2048,
-             concurrency=4, seed=13):
+             concurrency=(1, 4), seed=13):
     """IVF search: assign rows to coarse lists once, search only the
     ``n_probe`` lists nearest each query. Approximate (recall < 1 when the
     true neighbor's list isn't probed) — the scale path next to

@@ -115,7 +115,7 @@ class MinHashStage:
 
 
 def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
-                            k=5, n_perm=64, n_bands=16, threshold=0.7, concurrency=4):
+                            k=5, n_perm=64, n_bands=16, threshold=0.7, concurrency=(1, 4)):
     """MinHash+LSH near-dup: candidate pairs with estimated Jaccard ≥ threshold.
 
     ``groupby(band, band_hash)`` co-locates collisions; pairs verified by
@@ -278,14 +278,14 @@ def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
             batch["jaccard"] = jac
             return batch[batch["jaccard"] >= threshold]
 
-    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=2)
+    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
 
 
 # --- embedding cosine near-dup ---------------------------------------------
 
 
 def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
-                             threshold=0.95, n_planes=16, seed=7, concurrency=4):
+                             threshold=0.95, n_planes=16, seed=7, concurrency=(1, 4)):
     """Near-dup by cosine ≥ threshold: random-hyperplane LSH buckets +
     exact cosine verify within buckets."""
     import ray

@@ -1,0 +1,57 @@
+"""Query-registry conformance: every oracle-backed entry in
+osmpbf_ray.pipelines.queries must match its DuckDB oracle exactly
+(row count + columns + order-insensitive values) at sf0.001 — the same
+comparison the external driver runs at sf0.01."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmpbf_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    return res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+
+
+@pytest.mark.parametrize("name", sorted(q.oracle_sql()))
+def test_query_matches_oracle(name, con):
+    got = _to_df(q.queries()[name](SF))
+    exp = con.execute(q.oracle_sql()[name]).df()
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    cols = sorted(exp.columns)
+    assert sorted(got.columns) == cols
+    g = got[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    x = exp[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    for c in cols:
+        gv, xv = g[c].to_numpy(), x[c].to_numpy()
+        if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(xv.dtype, np.floating):
+            assert np.allclose(
+                gv.astype(float), xv.astype(float), rtol=0, atol=0, equal_nan=True
+            ), f"{name}.{c} float mismatch"
+        else:
+            assert (gv == xv).all(), f"{name}.{c} value mismatch"
+
+
+@pytest.mark.parametrize(
+    "name,min_rows",
+    [("lang_id", 1), ("minhash_pairs", 0), ("phash_dedup", 1), ("flagship", 0)],
+)
+def test_rows_only_queries_run(name, min_rows):
+    got = _to_df(q.queries()[name](SF))
+    assert len(got) >= min_rows
+    assert len(got.columns) > 0
