@@ -60,6 +60,19 @@ def encode_png(rgb: np.ndarray) -> bytes:
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters 0-4. raw: (h, 1+stride) uint8."""
+    ftypes = raw[:, 0]
+    if not ftypes.any():  # all filter 0 (what encode_png emits): pure slice
+        return np.ascontiguousarray(raw[:, 1:])
+    if (ftypes <= 2).all() and not (ftypes == 1).any():
+        # only None/Up rows: Up is a per-column modular running sum, and
+        # uint8 cumsum wraps exactly like the byte arithmetic PNG specifies
+        return np.cumsum(raw[:, 1:], axis=0, dtype=np.uint8) if (
+            ftypes[1:] == 2
+        ).all() and ftypes[0] == 0 else _unfilter_slow(raw, h, stride, bpp)
+    return _unfilter_slow(raw, h, stride, bpp)
+
+
+def _unfilter_slow(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ftype = int(raw[r, 0])
@@ -226,6 +239,45 @@ def phash64(rgb: np.ndarray) -> int:
     return int(val.astype(np.int64))
 
 
+def _gray32_batch(imgs: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 → (n, 32, 32) float64, same math as _to_gray32."""
+    gray = imgs.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if gray.shape[1] < 32:
+        gray = np.repeat(gray, -(-32 // gray.shape[1]), axis=1)
+    if gray.shape[2] < 32:
+        gray = np.repeat(gray, -(-32 // gray.shape[2]), axis=2)
+    _, h, w = gray.shape
+    rbins = (np.arange(32) * h) // 32
+    cbins = (np.arange(32) * w) // 32
+    rows = np.add.reduceat(gray, rbins, axis=1)
+    cells = np.add.reduceat(rows, cbins, axis=2)
+    rcnt = np.diff(np.append(rbins, h))[None, :, None]
+    ccnt = np.diff(np.append(cbins, w))[None, None, :]
+    return cells / (rcnt * ccnt)
+
+
+def phash64_batch(images: list[np.ndarray]) -> np.ndarray:
+    """Vectorized phash64 over a list of (h, w, 3) images.
+
+    Groups by shape and runs the gray/resize/DCT/median pipeline as one
+    batched tensor op per group — bit-identical to per-image ``phash64``
+    (same float64 operations in the same order per slice).
+    """
+    out = np.empty(len(images), dtype=np.int64)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, im in enumerate(images):
+        by_shape.setdefault(im.shape, []).append(i)
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    for idxs in by_shape.values():
+        g = _gray32_batch(np.stack([images[i] for i in idxs]))
+        coef = np.matmul(np.matmul(_D32, g), _D32.T)[:, :8, :8]
+        flat = coef.reshape(len(idxs), 64)
+        med = np.median(flat[:, 1:], axis=1)
+        bits = (flat > med[:, None]).astype(np.uint64)
+        out[idxs] = (bits * weights).sum(axis=1).astype(np.int64)
+    return out
+
+
 _POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
@@ -258,19 +310,25 @@ class ImageDecoder:
         blobs = batch.column("bytes").to_pylist()
         fmts = batch.column("fmt").to_pylist()
         means = np.empty(len(blobs))
-        phashes = np.empty(len(blobs), dtype=np.int64)
+        phashes = np.zeros(len(blobs), dtype=np.int64)
         decode_errors = np.zeros(len(blobs), dtype=bool)
+        decoded: list[np.ndarray] = []
+        ok_idx: list[int] = []
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 px = decode_image(blob, fmt)
                 means[i] = float(px.mean())
-                phashes[i] = phash64(px) if self.compute_phash else 0
+                decoded.append(px)
+                ok_idx.append(i)
             except (ValueError, zlib.error):
                 # error-channel row, not a task failure (reference skips
                 # unknown blob types rather than erroring, blob.rs:27-29)
                 means[i] = float("nan")
-                phashes[i] = 0
                 decode_errors[i] = True
+        if self.compute_phash and decoded:
+            # batched by shape: one tensor DCT per size group instead of
+            # a Python-loop hash per image
+            phashes[ok_idx] = phash64_batch(decoded)
         out = batch.drop_columns(["bytes"])
         out = out.append_column("pixel_mean", pa.array(means, type=pa.float64()))
         out = out.append_column("phash_decoded", pa.array(phashes, type=pa.int64()))
