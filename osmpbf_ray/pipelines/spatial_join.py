@@ -162,15 +162,27 @@ class KnnStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy()
         lon = batch.column("lon").to_numpy()
-        nn_ids = np.empty((len(lat), self.k), dtype=np.int64)
-        nn_d = np.empty((len(lat), self.k))
-        for i in range(len(lat)):
-            ids, d = self.index.knn(float(lat[i]), float(lon[i]), self.k)
-            # pad when fewer than k indexed points exist
-            nn_ids[i, : len(ids)] = ids
-            nn_ids[i, len(ids) :] = -1
-            nn_d[i, : len(d)] = d
-            nn_d[i, len(d) :] = np.inf
+        n, k = len(lat), self.k
+        nn_ids = np.full((n, k), -1, dtype=np.int64)
+        nn_d = np.full((n, k), np.inf)
+        # vectorize by query cell: all points in one cell share the same
+        # k-ring candidate set, so ring expansion + the distance matrix +
+        # the top-k run once per distinct cell, not once per row
+        cells = spatial.lonlat_to_cell(lat, lon, self.index.z)
+        order = np.argsort(cells, kind="stable")
+        bounds = np.flatnonzero(np.diff(cells[order])) + 1
+        for grp in np.split(order, bounds):
+            cand = self.index.ring_candidates(int(cells[grp[0]]), k)
+            if len(cand) == 0:
+                continue
+            d = spatial.haversine_m(
+                lat[grp][:, None], lon[grp][:, None],
+                self.index.lat[cand][None, :], self.index.lon[cand][None, :],
+            )
+            kk = min(k, len(cand))
+            top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            nn_ids[grp[:, None], np.arange(kk)[None, :]] = self.index.ids[cand][top]
+            nn_d[grp[:, None], np.arange(kk)[None, :]] = np.take_along_axis(d, top, axis=1)
         return batch.append_column(
             "nn_ids", pa.array(list(nn_ids), type=pa.list_(pa.int64()))
         ).append_column("nn_dist_m", pa.array(list(nn_d), type=pa.list_(pa.float64())))

@@ -106,6 +106,68 @@ BLOCKS_SCHEMA = pa.schema(
         ("uid_delta", pa.list_(pa.int32())),
         ("user_sid_delta", pa.list_(pa.int32())),
         ("visible", pa.list_(pa.bool_())),
+        # HeaderBlock metadata (reference src/block.rs:21-85); populated
+        # only on kind="header" rows, null elsewhere. Bbox is nanodegrees
+        # (degree = value * 1e-9, src/block.rs:21-28); feature lists are
+        # order-insensitive sets (tests/read.rs:80-102); replication
+        # state is the engine's resumable-watermark hook (block.rs:61-85)
+        (
+            "header",
+            pa.struct(
+                [
+                    ("bbox_left", pa.int64()),
+                    ("bbox_right", pa.int64()),
+                    ("bbox_top", pa.int64()),
+                    ("bbox_bottom", pa.int64()),
+                    ("required_features", pa.list_(pa.string())),
+                    ("optional_features", pa.list_(pa.string())),
+                    ("writingprogram", pa.string()),
+                    ("source", pa.string()),
+                    ("osmosis_replication_timestamp", pa.int64()),
+                    ("osmosis_replication_sequence_number", pa.int64()),
+                    ("osmosis_replication_base_url", pa.string()),
+                ]
+            ),
+        ),
+    ]
+)
+
+HEADER_STRUCT = BLOCKS_SCHEMA.field("header").type
+
+# --- way / relation blocks: per-message elements with packed delta
+#     arrays (reference src/proto/osmformat.proto:222-262). One row = one
+#     element; refs / member ids are delta-coded within the row exactly
+#     like the reference's stateful iterators decode them
+#     (WayRefIter src/elements.rs:335-343, RelMemberIter 487-500,
+#     WayNodeLocationsIter 404-416). keys/vals are parallel string-table
+#     index arrays (src/elements.rs:515-538). ---
+WAY_BLOCKS_SCHEMA = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("id", pa.int64()),
+        ("refs_delta", pa.list_(pa.int64())),
+        ("keys", pa.list_(pa.int32())),
+        ("vals", pa.list_(pa.int32())),
+        # LocationsOnWays (optional feature): delta-coded stored units
+        ("lat_delta", pa.list_(pa.int64())),
+        ("lon_delta", pa.list_(pa.int64())),
+        ("stringtable", pa.list_(pa.binary())),
+        ("granularity", pa.int32()),
+        ("lat_offset", pa.int64()),
+        ("lon_offset", pa.int64()),
+    ]
+)
+
+REL_BLOCKS_SCHEMA = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("id", pa.int64()),
+        ("roles_sid", pa.list_(pa.int32())),
+        ("memids_delta", pa.list_(pa.int64())),
+        ("types", pa.list_(pa.int8())),  # 0=node 1=way 2=relation
+        ("keys", pa.list_(pa.int32())),
+        ("vals", pa.list_(pa.int32())),
+        ("stringtable", pa.list_(pa.binary())),
     ]
 )
 

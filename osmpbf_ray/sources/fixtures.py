@@ -146,6 +146,7 @@ def make_delta_blocks(
     seed: int = SEED,
     tagged_frac: float = 0.1,
     with_unknown: bool = True,
+    with_header: bool = False,
 ) -> pa.Table:
     """Delta-coded blocks whose cumsum decode yields a deterministic world.
 
@@ -156,6 +157,33 @@ def make_delta_blocks(
     """
     rng = np.random.default_rng(seed)
     rows = []
+    if with_header:
+        # HeaderBlock analog (reference src/block.rs:21-85): bbox in
+        # nanodegrees, feature strings, replication watermark
+        rows.append(
+            {
+                "block_id": -1,
+                "kind": "header",
+                "id_delta": [], "lat_delta": [], "lon_delta": [], "keys_vals": [],
+                "stringtable": [], "granularity": 100, "lat_offset": 0,
+                "lon_offset": 0, "date_granularity": 1000, "version": [],
+                "timestamp_delta": [], "changeset_delta": [], "uid_delta": [],
+                "user_sid_delta": [], "visible": [],
+                "header": {
+                    "bbox_left": -10_000_000_000,
+                    "bbox_right": 20_000_000_000,
+                    "bbox_top": 60_000_000_000,
+                    "bbox_bottom": 40_000_000_000,
+                    "required_features": ["OsmSchema-V0.6", "DenseNodes"],
+                    "optional_features": ["Sort.Type_then_ID"],
+                    "writingprogram": "osmpbf_ray-fixture",
+                    "source": "synthetic",
+                    "osmosis_replication_timestamp": 1_700_000_000,
+                    "osmosis_replication_sequence_number": 273,
+                    "osmosis_replication_base_url": "https://example.org/replication",
+                },
+            }
+        )
     next_id = 1
     for b in range(n_blocks):
         n = nodes_per_block
@@ -219,6 +247,92 @@ def make_delta_blocks(
             }
         )
     return pa.Table.from_pylist(rows, schema=schema.BLOCKS_SCHEMA)
+
+
+_WAY_VOCAB = [b"", b"building", b"yes", b"name", b"triangle", b"test_role", b"highway", b"primary"]
+
+
+def make_way_blocks(n_random: int = 20, seed: int = SEED, with_locations: bool = False) -> pa.Table:
+    """Delta-coded way rows; row 0 is the golden way 107 whose decoded
+    refs must be exactly [105, 106, 108, 105] with tags building=yes,
+    name=triangle (reference tests/read.rs:160-168)."""
+    rng = np.random.default_rng(seed + 7)
+    golden_nano = [(52122403100, 13142943700), (52119923500, 13142178700),
+                   (52119899100, 13143712400), (52122403100, 13142943700)]
+    rows = [
+        {
+            "block_id": 0,
+            "id": 107,
+            "refs_delta": [105, 1, 2, -3],  # decodes to [105,106,108,105]
+            "keys": [1, 3],
+            "vals": [2, 4],
+            "lat_delta": _deltas([la for la, _ in golden_nano]) if with_locations else [],
+            "lon_delta": _deltas([lo for _, lo in golden_nano]) if with_locations else [],
+            "stringtable": list(_WAY_VOCAB),
+            "granularity": 1,
+            "lat_offset": 0,
+            "lon_offset": 0,
+        }
+    ]
+    next_ref = 1000
+    for i in range(n_random):
+        nref = int(rng.integers(2, 8))
+        refs = next_ref + np.sort(rng.choice(np.arange(nref * 3), nref, replace=False))
+        next_ref = int(refs[-1]) + 1
+        rows.append(
+            {
+                "block_id": 1 + i // 8,
+                "id": 200 + i,
+                "refs_delta": _deltas(refs.tolist()),
+                "keys": [6],
+                "vals": [7],
+                "lat_delta": [],
+                "lon_delta": [],
+                "stringtable": list(_WAY_VOCAB),
+                "granularity": 100,
+                "lat_offset": 0,
+                "lon_offset": 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=schema.WAY_BLOCKS_SCHEMA)
+
+
+def make_relation_blocks(n_random: int = 10, seed: int = SEED) -> pa.Table:
+    """Delta-coded relations; row 0 is the golden relation referencing
+    way 107 with role test_role (reference tests/read.rs:231-247)."""
+    rng = np.random.default_rng(seed + 11)
+    rows = [
+        {
+            "block_id": 0,
+            "id": 110,
+            "roles_sid": [5],
+            "memids_delta": [107],
+            "types": [schema.MEMBER_WAY],
+            "keys": [],
+            "vals": [],
+            "stringtable": list(_WAY_VOCAB),
+        }
+    ]
+    for i in range(n_random):
+        nm = int(rng.integers(1, 5))
+        memids = rng.integers(1, 500, nm).tolist()
+        rows.append(
+            {
+                "block_id": 1,
+                "id": 300 + i,
+                "roles_sid": [5] * nm,
+                "memids_delta": _deltas(memids),
+                "types": rng.integers(0, 3, nm).astype("int8").tolist(),
+                "keys": [1],
+                "vals": [2],
+                "stringtable": list(_WAY_VOCAB),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=schema.REL_BLOCKS_SCHEMA)
+
+
+def _deltas(values: list[int]) -> list[int]:
+    return np.diff(np.asarray(values, dtype=np.int64), prepend=0).tolist()
 
 
 # --- image + caption table --------------------------------------------------

@@ -223,22 +223,21 @@ class CellPointIndex:
         out = [self._order[a:b] for a, b in zip(lo, hi) if b > a]
         return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
-    def knn(self, qlat: float, qlon: float, k: int, max_ring: int = 64) -> tuple[np.ndarray, np.ndarray]:
-        """ids and distances (meters) of the k nearest indexed points.
-
-        Expands k-rings around the query cell until >= k candidates are
-        found, then one extra ring to guarantee correctness near cell
-        boundaries, then refines by exact haversine distance.
-        """
-        qcell = int(lonlat_to_cell(np.asarray([qlat]), np.asarray([qlon]), self.z)[0])
+    def ring_candidates(self, qcell: int, k: int, max_ring: int = 64) -> np.ndarray:
+        """Candidate indices for a query cell: expand k-rings until >= k
+        found, then one guard ring (a point just outside the searched
+        square can be closer than one inside it)."""
         ring = 1
         cand = self._points_in_cells(k_ring(qcell, ring))
         while len(cand) < k and ring < max_ring:
             ring *= 2
             cand = self._points_in_cells(k_ring(qcell, ring))
-        # one guard ring: a point just outside the searched square can be
-        # closer than one inside it
-        cand = self._points_in_cells(k_ring(qcell, min(ring + 1, max_ring)))
+        return self._points_in_cells(k_ring(qcell, min(ring + 1, max_ring)))
+
+    def knn(self, qlat: float, qlon: float, k: int, max_ring: int = 64) -> tuple[np.ndarray, np.ndarray]:
+        """ids and distances (meters) of the k nearest indexed points."""
+        qcell = int(lonlat_to_cell(np.asarray([qlat]), np.asarray([qlon]), self.z)[0])
+        cand = self.ring_candidates(qcell, k, max_ring)
         if len(cand) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
         d = haversine_m(qlat, qlon, self.lat[cand], self.lon[cand])

@@ -131,3 +131,69 @@ def test_format_invariance_fragments(ray_session):
     assert a["id"].tolist() == b["id"].tolist()
     assert a["nano_lat"].tolist() == b["nano_lat"].tolist()
     assert len(a) == 800
+
+
+def test_header_metadata():
+    """HeaderBlock parity (block.rs:21-85, tests/read.rs:80-102)."""
+    blocks = fixtures.make_delta_blocks(n_blocks=2, nodes_per_block=50, with_header=True)
+    meta = decode.header_meta(blocks)
+    assert meta is not None
+    # bbox nanodegrees -> degrees (block.rs:21-28)
+    assert abs(meta["bbox"]["left"] - (-10.0)) < 1e-12
+    assert abs(meta["bbox"]["top"] - 60.0) < 1e-12
+    # feature comparison is order-insensitive (tests/read.rs:80-102)
+    assert meta["required_features"] == {"DenseNodes", "OsmSchema-V0.6"}
+    assert meta["optional_features"] == {"Sort.Type_then_ID"}
+    assert meta["replication"]["sequence_number"] == 273
+    # header rows must not leak into the element stream (blob.rs:95)
+    decoded = decode.decode_blocks(blocks)
+    assert decoded.num_rows == 100
+    # blocks without a header row report None
+    assert decode.header_meta(fixtures.make_delta_blocks(n_blocks=1, nodes_per_block=5)) is None
+
+
+def test_way_blocks_delta_decode():
+    """WayRefIter parity: delta refs decode to the golden ordered list
+    (elements.rs:335-343; tests/read.rs:160-168)."""
+    ways = decode.decode_way_blocks(fixtures.make_way_blocks(n_random=20))
+    golden = ways.filter(pc.equal(ways["id"], 107))
+    assert golden.column("refs").to_pylist() == [[105, 106, 108, 105]]
+    tags = golden.column("tags").to_pylist()[0]
+    assert {(t["key"], t["value"]) for t in tags} == {("building", "yes"), ("name", "triangle")}
+    assert golden.column("locations").to_pylist() == [None]  # feature absent
+    # random rows: refs strictly match an independent per-row cumsum
+    blocks = fixtures.make_way_blocks(n_random=20)
+    for row, refs in zip(blocks.to_pylist(), ways.column("refs").to_pylist()):
+        assert np.cumsum(row["refs_delta"]).tolist() == refs
+
+
+def test_way_blocks_locations_on_ways():
+    """LocationsOnWays parity (elements.rs:404-416, tests/read.rs:343-420)."""
+    ways = decode.decode_way_blocks(fixtures.make_way_blocks(n_random=0, with_locations=True))
+    locs = ways.column("locations").to_pylist()[0]
+    assert [loc["nano_lat"] for loc in locs] == [
+        52122403100, 52119923500, 52119899100, 52122403100,
+    ]
+
+
+def test_relation_blocks_delta_decode():
+    """RelMemberIter parity (elements.rs:487-500; tests/read.rs:231-247)."""
+    rels = decode.decode_relation_blocks(fixtures.make_relation_blocks(n_random=10))
+    golden = rels.filter(pc.equal(rels["id"], 110))
+    m = golden.column("members").to_pylist()[0]
+    assert m == [{"role": "test_role", "member_id": 107, "member_type": schema.MEMBER_WAY}]
+    blocks = fixtures.make_relation_blocks(n_random=10)
+    for row, members in zip(blocks.to_pylist(), rels.column("members").to_pylist()):
+        assert np.cumsum(row["memids_delta"]).tolist() == [mm["member_id"] for mm in members]
+
+
+def test_decode_runs_in_ray_pipeline():
+    """Way/relation decode as zero-copy map_batches stages."""
+    ways = rd.from_arrow(fixtures.make_way_blocks(50)).map_batches(
+        decode.decode_way_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    assert ways.count() == 51
+    rels = rd.from_arrow(fixtures.make_relation_blocks(9)).map_batches(
+        decode.decode_relation_blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    assert rels.count() == 10
