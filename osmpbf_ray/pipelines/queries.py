@@ -271,6 +271,17 @@ def q_pricing_summary(sf_dir: str):
     return agg
 
 
+# --- 8b. salted two-phase aggregation (skew path, §2.12) --------------------
+
+
+def q_salted_group_count(sf_dir: str):
+    """Hot-key-safe grouped count: phase 1 groups by (key, salt) so a
+    skewed key's rows split across reducers, phase 2 merges the salt
+    partials. Results must be identical to a plain GROUP BY."""
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    return tiles_mod.salted_groupby_count(ds, "l_suppkey", n_salt=8)
+
+
 # --- 9. top-k (sort + limit) ------------------------------------------------
 
 
@@ -525,6 +536,7 @@ def queries() -> dict:
         "coord_decode": q_coord_decode,
         "delta_decode": q_delta_decode,
         "pricing_summary": q_pricing_summary,
+        "salted_group_count": q_salted_group_count,
         "top_k_orders": q_top_k_orders,
         "distinct_pairs": q_distinct_pairs,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -600,6 +612,9 @@ def oracle_sql() -> dict:
             "CAST(SUM(CAST(round(l_discount*10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp, "
             "CAST(count(*) AS BIGINT) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "salted_group_count": (
+            "SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_suppkey"
         ),
         "top_k_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
