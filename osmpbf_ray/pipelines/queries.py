@@ -421,6 +421,61 @@ def q_token_count_ws(sf_dir: str):
     return ds.map_batches(count_ws, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- 18. tumbling-window aggregate over the event stream --------------------
+
+
+def q_window_agg(sf_dir: str):
+    """1-hour tumbling window × event_type counts — the batch form of a
+    streaming windowed aggregate (the reference has no streaming ops,
+    SURVEY.md §2.10; this is the training-pipeline shape). Pre-aggregated
+    per batch, then a small groupby over partials."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            p_n=("ts", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+
+# --- 19. spatial top-k (sort + limit over aggregated tiles) -----------------
+
+
+def q_top_cells(sf_dir: str):
+    stats = tiles_mod.tile_stats(_customer_points(sf_dir), z=4)
+    return (
+        stats.sort(["n", "tile_x", "tile_y"], descending=[True, False, False])
+        .limit(5)
+        .select_columns(["tile_x", "tile_y", "n"])
+    )
+
+
+# --- 20. union ---------------------------------------------------------------
+
+
+def q_union_orders(sf_dir: str):
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hi = base.map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lo = base.map_batches(
+        lambda b: b.filter(pc.less(b["o_totalprice"], 5000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hi.union(lo)
+
+
 # --- rows-only queries (non-SQL-expressible; driver checks rows/schema) -----
 
 
@@ -546,6 +601,9 @@ def queries() -> dict:
         "knn_embeddings": q_knn_embeddings,
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
+        "window_agg": q_window_agg,
+        "top_cells": q_top_cells,
+        "union_orders": q_union_orders,
         # rows-only (non-SQL-expressible)
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -567,6 +625,12 @@ def _tile_sql(z: int = 6) -> tuple[str, str]:
 
 def oracle_sql() -> dict:
     xe, ye = _tile_sql(6)
+    xe4, ye4 = _tile_sql(4)
+    TOP_CELLS_SQL = (
+        f"{_PTS_CTE} SELECT tile_x, tile_y, n FROM ("
+        f"SELECT {xe4} AS tile_x, {ye4} AS tile_y, CAST(count(*) AS BIGINT) AS n "
+        "FROM pts GROUP BY 1, 2) ORDER BY n DESC, tile_x, tile_y LIMIT 5"
+    )
     tri = [(float(x), float(y)) for x, y in zip(_TRI_LON[:3], _TRI_LAT[:3])]
     hp = []
     for i in range(3):
@@ -644,6 +708,15 @@ def oracle_sql() -> dict:
             f"{_PTS_CTE}, polys(poly_id, ymin, ymax, xmin, xmax) AS (VALUES {bbox_values}) "
             "SELECT p.c_custkey, CAST(polys.poly_id AS BIGINT) AS poly_id FROM pts p "
             "JOIN polys ON p.lat >= ymin AND p.lat < ymax AND p.lon >= xmin AND p.lon < xmax"
+        ),
+        "window_agg": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "top_cells": TOP_CELLS_SQL,
+        "union_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000 "
+            "UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000"
         ),
         "token_count_ws": (
             r"SELECT doc_id, CAST(length(list_filter(regexp_split_to_array(text, '\s+'), "
