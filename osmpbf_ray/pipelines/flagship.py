@@ -53,3 +53,79 @@ def run_flagship(
     joined = spatial_join(ds, polygons, z=z_join, concurrency=join_concurrency)
     stats = tiles_mod.tile_stats(ds, z_tile)
     return {"joined": joined, "tile_stats": stats}
+
+
+def write_flagship_resumable(
+    input_dir: str,
+    polygons: pa.Table,
+    out_dir: str,
+    z_join: int = 12,
+    z_tile: int = 8,
+) -> dict:
+    """Distributed resumable flagship run: one output partition per input
+    parquet fragment, skipping partitions already in the manifest.
+
+    Partition ids are deterministic functions of the INPUT layout (the
+    fragment file name), never of scheduling order, so a crashed run
+    resumes by recomputing exactly the missing fragments (north rule:
+    per-partition checkpoints with lineage + metrics; the reference's
+    osmosis replication watermark generalized to fragments,
+    /root/reference/src/block.rs:61-85). Requires ``out_dir`` on storage
+    visible to all workers (shared fs / object store in a real cluster).
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from osmpbf_ray.pipelines.spatial_join import PolygonIndex, polygon_arrays
+    from osmpbf_ray.state.manifest import Manifest, write_partition
+
+    frags = sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith(".parquet")
+    )
+    manifest = Manifest(out_dir)
+    done = set(manifest.completed())
+    todo = [f for f in frags if os.path.splitext(os.path.basename(f))[0] not in done]
+    polys_ref = ray.put(polygon_arrays(polygons))
+
+    def process(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        index = PolygonIndex(ray.get(polys_ref), z_join)
+        mf = Manifest(out_dir)
+        decoder = ImageDecoder()
+        out_rows = []
+        for path in batch.column("path").to_pylist():
+            pid = os.path.splitext(os.path.basename(path))[0]
+            tbl = decoder(pq.read_table(path))
+            pts, polys = index.join_batch(
+                tbl.column("lat").to_numpy(), tbl.column("lon").to_numpy()
+            )
+            joined = tbl.take(pa.array(pts)).append_column(
+                "poly_id", pa.array(polys, type=pa.int64())
+            )
+            joined = tiles_mod.assign_tiles(joined, z_tile)
+            write_partition(
+                mf,
+                pid,
+                joined,
+                lineage={"input": path},
+                metrics={"input_rows": tbl.num_rows, "joined_rows": joined.num_rows},
+            )
+            out_rows.append({"partition_id": pid, "rows": joined.num_rows})
+        return pa.Table.from_pylist(
+            out_rows,
+            schema=pa.schema([("partition_id", pa.string()), ("rows", pa.int64())]),
+        )
+
+    written = 0
+    if todo:
+        paths_ds = rd.from_arrow(pa.table({"path": todo}))
+        res = paths_ds.map_batches(
+            process, batch_format="pyarrow", batch_size=1
+        ).to_pandas()
+        written = len(res)
+    return {"written": written, "skipped": len(done), "out_dir": out_dir}

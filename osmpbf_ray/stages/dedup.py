@@ -97,20 +97,23 @@ class MinHashStage:
         self.rows_per_band = n_perm // n_bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, band_hashes, sigs = [], [], [], []
-        for did, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = minhash_signature(char_shingle_hashes(str(text), self.k), self.n_perm)
-            chunks = sig.reshape(self.n_bands, self.rows_per_band)
-            bh = splitmix64(
-                chunks[:, 0] ^ splitmix64(chunks[:, 1] if self.rows_per_band > 1 else chunks[:, 0])
-            )
-            for b in range(self.n_bands):
-                ids.append(did)
-                bands.append(b)
-                band_hashes.append(np.int64(bh[b].astype(np.int64)))
-                sigs.append(sig.astype(np.int64).tolist())
+        n = len(batch)
+        sigs = np.empty((n, self.n_perm), dtype=np.uint64)
+        for i, text in enumerate(batch[self.text_col]):
+            sigs[i] = minhash_signature(char_shingle_hashes(str(text), self.k), self.n_perm)
+        chunks = sigs.reshape(n, self.n_bands, self.rows_per_band)
+        second = chunks[:, :, 1] if self.rows_per_band > 1 else chunks[:, :, 0]
+        bh = splitmix64(chunks[:, :, 0] ^ splitmix64(second)).astype(np.int64)
+        # one materialized signature list per doc, band rows share it by
+        # reference (the old per-band tolist() dominated the stage cost)
+        sig_lists = sigs.astype(np.int64).tolist()
         return pd.DataFrame(
-            {self.id_col: ids, "band": bands, "band_hash": band_hashes, "sig": sigs}
+            {
+                self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.n_bands),
+                "band": np.tile(np.arange(self.n_bands), n),
+                "band_hash": bh.ravel(),
+                "sig": [sig_lists[i] for i in np.repeat(np.arange(n), self.n_bands)],
+            }
         )
 
 

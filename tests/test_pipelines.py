@@ -168,3 +168,37 @@ def test_manifest_atomic_on_failure(tmp_path):
     mf.run_resumable(man, {"b0": 0, "b1": 1}, flaky)
     assert set(man.completed()) == {"b0", "b1"}
     assert mf.read_output(tmp_path / "out").num_rows == 2
+
+
+def test_write_flagship_resumable(tmp_path):
+    """Distributed per-fragment resumable write: rerun recomputes only
+    missing partitions; resumed output equals a fresh run."""
+    import pyarrow.parquet as pq
+    import shutil
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    images = fixtures.make_images(160)
+    for f in range(4):
+        pq.write_table(images.slice(f * 40, 40), in_dir / f"frag-{f}.parquet")
+    polygons = fixtures.make_polygons(10)
+
+    res1 = flagship.write_flagship_resumable(str(in_dir), polygons, str(out_dir))
+    assert res1["written"] == 4 and res1["skipped"] == 0
+    full = mf.read_output(out_dir)
+
+    # crash simulation: drop one partition dir AND its manifest line
+    shutil.rmtree(out_dir / "part=frag-2")
+    lines = [
+        l for l in (out_dir / "_MANIFEST.jsonl").read_text().splitlines()
+        if '"frag-2"' not in l
+    ]
+    (out_dir / "_MANIFEST.jsonl").write_text("\n".join(lines) + "\n")
+
+    res2 = flagship.write_flagship_resumable(str(in_dir), polygons, str(out_dir))
+    assert res2["written"] == 1 and res2["skipped"] == 3
+    resumed = mf.read_output(out_dir)
+    assert resumed.num_rows == full.num_rows
+    a = sorted(zip(resumed.column("image_id").to_pylist(), resumed.column("poly_id").to_pylist()))
+    b = sorted(zip(full.column("image_id").to_pylist(), full.column("poly_id").to_pylist()))
+    assert a == b
