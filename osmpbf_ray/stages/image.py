@@ -180,12 +180,11 @@ def decode_lossy(data: bytes) -> np.ndarray:
     hb, wb = (h + 7) // 8, (w + 7) // 8
     coefs = np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).reshape(3, hb, wb, 8, 8)
     q = _QBASE * quality
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    for c in range(3):
-        rec = _D8.T @ (coefs[c].astype(np.float64) * q) @ _D8
-        full = rec.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8) + 128.0
-        out[:, :, c] = np.clip(np.round(full[:h, :w]), 0, 255).astype(np.uint8)
-    return out
+    # all three channels in one broadcasted matmul pair
+    rec = np.matmul(np.matmul(_D8.T, coefs.astype(np.float64) * q), _D8)
+    full = rec.transpose(0, 1, 3, 2, 4).reshape(3, hb * 8, wb * 8) + 128.0
+    out = np.clip(np.round(full[:, :h, :w]), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(out.transpose(1, 2, 0))
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:

@@ -197,3 +197,27 @@ def test_decode_runs_in_ray_pipeline():
         decode.decode_relation_blocks, batch_format="pyarrow", zero_copy_batch=True
     )
     assert rels.count() == 10
+
+
+def test_format_invariance(tmp_path):
+    """Engine analog of the reference's encoding invariance (same logical
+    content in 3 physical encodings decodes identically, tests/read.rs:15-31):
+    same rows whether the block table is 1 parquet fragment or many, and
+    whether strings are dictionary-encoded or plain."""
+    import pyarrow.parquet as pq
+
+    blocks = fixtures.make_delta_blocks(n_blocks=4, nodes_per_block=300)
+    one = tmp_path / "one"; many = tmp_path / "many"; dictenc = tmp_path / "dict"
+    one.mkdir(); many.mkdir(); dictenc.mkdir()
+    pq.write_table(blocks, one / "all.parquet")
+    for i in range(4):
+        pq.write_table(blocks.slice(i, 1), many / f"b{i}.parquet")
+    pq.write_table(blocks, dictenc / "all.parquet", use_dictionary=True)
+
+    def decoded_rows(path):
+        ds = decode.decode_blocks_ds(rd.read_parquet(str(path)))
+        df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+        return df[["id", "nano_lat", "nano_lon"]]
+
+    a, b, c = decoded_rows(one), decoded_rows(many), decoded_rows(dictenc)
+    assert a.equals(b) and a.equals(c) and len(a) == 1200
