@@ -446,6 +446,43 @@ def q_window_agg(sf_dir: str):
     )
 
 
+# --- 18b. gap-based sessionization over the event stream --------------------
+
+
+def q_sessionize(sf_dir: str):
+    """Sessions per user with a 30-minute inactivity gap: a break starts
+    a new session. Hash-partitioned by user (groupby), ordered cumsum of
+    gap breaks within each group — the batch form of session windows."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values(kind="stable")
+        breaks = (ts.diff() > gap).sum() + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(breaks)]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# --- 18c. distinct count (two-level exact) ----------------------------------
+
+
+def q_distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT): per-batch unique (combiner) → global
+    groupby on the key (dedup across batches) → tiny count."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": np.unique(batch.column("l_partkey").to_numpy())})
+
+    uniq = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .count()
+    )
+    return pa.table({"n_distinct": pa.array([uniq.count()], type=pa.int64())})
+
+
 # --- 19. spatial top-k (sort + limit over aggregated tiles) -----------------
 
 
@@ -602,6 +639,8 @@ def queries() -> dict:
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
         "window_agg": q_window_agg,
+        "sessionize": q_sessionize,
+        "distinct_count": q_distinct_count,
         "top_cells": q_top_cells,
         "union_orders": q_union_orders,
         # rows-only (non-SQL-expressible)
@@ -712,6 +751,15 @@ def oracle_sql() -> dict:
         "window_agg": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions FROM ("
+            "SELECT user_id, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events) GROUP BY user_id"
+        ),
+        "distinct_count": (
+            "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct FROM lineitem"
         ),
         "top_cells": TOP_CELLS_SQL,
         "union_orders": (
