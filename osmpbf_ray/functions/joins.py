@@ -118,13 +118,30 @@ def partitioned_hash_join(
         batch_format="pyarrow",
     )
 
-    lschema, rschema = left_ds.schema(), right_ds.schema()
+    def as_arrow_schema(ds_schema) -> pa.Schema:
+        base = ds_schema.base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-backed upstream (e.g. groupby aggregates): map numpy dtypes
+        fields = []
+        for name, typ in zip(ds_schema.names, base.types):
+            if isinstance(typ, pa.DataType):
+                fields.append(pa.field(name, typ))
+            else:
+                try:
+                    fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+                except pa.ArrowNotImplementedError:
+                    fields.append(pa.field(name, pa.string()))
+        return pa.schema(fields)
+
+    lschema = as_arrow_schema(left_ds.schema())
+    rschema = as_arrow_schema(right_ds.schema())
     lcols, rcols = list(lschema.names), list(rschema.names)
     # original dtypes, to undo pandas' NaN-driven upcasts from the union
     dtypes = pa.schema(
-        [lschema.base_schema.field(c) for c in lcols]
+        [lschema.field(c) for c in lcols]
         + [
-            rschema.base_schema.field(c).with_name(c + suffix if c in lcols and c != key else c)
+            rschema.field(c).with_name(c + suffix if c in lcols and c != key else c)
             for c in rcols
             if c != key
         ]

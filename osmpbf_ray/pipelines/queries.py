@@ -513,6 +513,54 @@ def q_union_orders(sf_dir: str):
     return hi.union(lo)
 
 
+# --- 21. composite: 3-way join + aggregate + top-k (TPC-H Q3 shape) ---------
+
+
+def q_shipping_priority(sf_dir: str):
+    """BUILDING-segment customers, orders before / lineitems shipped after
+    1998-06-01; revenue per order in exact integer micro-money
+    (cents × basis-points) so parallel summation matches SQL bit-for-bit;
+    top 10 by revenue. Two partitioned hash joins + partial aggregation."""
+    cutoff = pd.Timestamp("1998-06-01")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.less(b["o_orderdate"], pa.scalar(cutoff.to_pydatetime()))
+        ).rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    co = joins.partitioned_hash_join(orders, cust, key="c_custkey", n_buckets=8)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff.to_pydatetime())))
+        cents = np.round(b.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        bp = np.round(b.column("l_discount").to_numpy() * 10000).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderkey": b.column("l_orderkey").to_numpy(), "rev": cents * (10000 - bp)}
+        )
+        g = df.groupby("o_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    rev = li.groupby("o_orderkey").aggregate(Sum("rev", alias_name="revenue_micro"))
+    joined = joins.partitioned_hash_join(rev, co, key="o_orderkey", n_buckets=8)
+    return (
+        joined.select_columns(["o_orderkey", "o_orderdate", "revenue_micro"])
+        .sort(["revenue_micro", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 # --- rows-only queries (non-SQL-expressible; driver checks rows/schema) -----
 
 
@@ -643,6 +691,7 @@ def queries() -> dict:
         "distinct_count": q_distinct_count,
         "top_cells": q_top_cells,
         "union_orders": q_union_orders,
+        "shipping_priority": q_shipping_priority,
         # rows-only (non-SQL-expressible)
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -765,6 +814,17 @@ def oracle_sql() -> dict:
         "union_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000 "
             "UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey AS o_orderkey, o_orderdate, "
+            "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * "
+            "(10000 - CAST(round(l_discount*10000) AS BIGINT))) AS BIGINT) AS revenue_micro "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_micro DESC, o_orderkey LIMIT 10"
         ),
         "token_count_ws": (
             r"SELECT doc_id, CAST(length(list_filter(regexp_split_to_array(text, '\s+'), "
