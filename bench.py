@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "knn_embeddings",
     "token_count_ws",
     "minhash_pairs",
+    "shipping_priority",
+    "window_agg",
 ]
 
 

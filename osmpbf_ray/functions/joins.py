@@ -77,6 +77,32 @@ def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):
     return ways_tbl, deps
 
 
+# per-worker-process cache for broadcast join tables (one object-store
+# fetch + pandas conversion per worker, not per batch)
+_BCAST_CACHE: dict = {}
+
+
+def broadcast_lookup_join(ds, small: pa.Table, key: str, how: str = "inner"):
+    """Map-side join against a broadcast small table (no shuffle).
+
+    The 100 TB shape for selective joins: the big side streams through
+    ``map_batches`` while the small side ships once via ``ray.put`` and
+    is joined per batch. Partitioning assumption: ``small`` fits in each
+    worker's heap — use ``partitioned_hash_join`` otherwise.
+    """
+    import ray
+
+    ref = ray.put(small)
+
+    def join_batch(batch: pa.Table) -> pd.DataFrame:
+        cached = _BCAST_CACHE.get(ref.hex())
+        if cached is None:
+            cached = _BCAST_CACHE[ref.hex()] = ray.get(ref).to_pandas()
+        return batch.to_pandas().merge(cached, on=key, how=how)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def add_bucket_column(batch: pa.Table, key_col: str, n_buckets: int, out_col: str = "bucket") -> pa.Table:
     """Deterministic hash bucket for the partitioned join (splitmix64)."""
     k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -521,23 +521,35 @@ def q_shipping_priority(sf_dir: str):
     1998-06-01; revenue per order in exact integer micro-money
     (cents × basis-points) so parallel summation matches SQL bit-for-bit;
     top 10 by revenue. Two partitioned hash joins + partial aggregation."""
+    import ray as _ray
+
     cutoff = pd.Timestamp("1998-06-01")
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # small sides broadcast, never shuffled: customer keys (semi-join
+    # filter on orders), then the filtered orders (lookup join on the
+    # aggregated revenue). The only all-to-all is the groupby over
+    # PRE-AGGREGATED per-batch revenue partials.
+    cust_tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    keys = cust_tbl.filter(pc.equal(cust_tbl["c_mktsegment"], "BUILDING")).column(
+        "c_custkey"
+    ).to_numpy()
+    keys_ref = _ray.put(keys)
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
-        lambda b: b.filter(
-            pc.less(b["o_orderdate"], pa.scalar(cutoff.to_pydatetime()))
-        ).rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
+        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff.to_pydatetime()))),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    co = joins.partitioned_hash_join(orders, cust, key="c_custkey", n_buckets=8)
+    co_ds = joins.broadcast_semi_join(orders, "o_custkey", keys_ref).select_columns(
+        ["o_orderkey", "o_orderdate"]
+    )
+    co = pa.concat_tables(
+        [t for t in _ray.get(co_ds.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
 
     def li_partial(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff.to_pydatetime())))
@@ -552,12 +564,21 @@ def q_shipping_priority(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-    rev = li.groupby("o_orderkey").aggregate(Sum("rev", alias_name="revenue_micro"))
-    joined = joins.partitioned_hash_join(rev, co, key="o_orderkey", n_buckets=8)
-    return (
-        joined.select_columns(["o_orderkey", "o_orderdate", "revenue_micro"])
-        .sort(["revenue_micro", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    # final reduce over pre-aggregated partials (≤ one row per order per
+    # batch) — par_map_reduce's tiny driver-side final; at 10^12-order
+    # scale swap in groupby("o_orderkey").aggregate(Sum(...)) instead
+    partials = pd.concat(list(li.iter_batches(batch_format="pandas")), ignore_index=True)
+    rev = (
+        partials.groupby("o_orderkey", as_index=False)["rev"]
+        .sum()
+        .rename(columns={"rev": "revenue_micro"})
+    )
+    joined = rev.merge(co.to_pandas(), on="o_orderkey", how="inner")
+    top = joined.sort_values(
+        ["revenue_micro", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(10)
+    return pa.Table.from_pandas(
+        top[["o_orderkey", "o_orderdate", "revenue_micro"]], preserve_index=False
     )
 
 

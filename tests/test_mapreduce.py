@@ -103,3 +103,16 @@ def test_partitioned_hash_join():
     got = out.sort_values(["k", "a"]).reset_index(drop=True)[["k", "a", "b"]]
     exp = expect.sort_values(["k", "a"]).reset_index(drop=True)[["k", "a", "b"]]
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_broadcast_lookup_join():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    big = rd.from_arrow(pa.table({"k": np.arange(1000) % 7, "v": np.arange(1000)}))
+    small = pa.table({"k": np.array([0, 2, 4], dtype=np.int64), "name": ["a", "b", "c"]})
+    out = joins.broadcast_lookup_join(big, small, key="k").to_pandas()
+    assert len(out) == sum((np.arange(1000) % 7 == x).sum() for x in (0, 2, 4))
+    assert set(out.columns) == {"k", "v", "name"}
+    assert (out[out.k == 2]["name"] == "b").all()
