@@ -29,6 +29,27 @@ import time
 import numpy as np
 import pyarrow as pa
 
+# repo importable regardless of invocation cwd; UDFs ship by value so
+# Ray workers never need the package on their own sys.path
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _register_by_value() -> None:
+    try:
+        from ray import cloudpickle as _cp
+
+        import osmpbf_ray  # noqa: F401
+        from osmpbf_ray.pipelines import queries  # noqa: F401  (pulls all submodules)
+
+        for _name, _mod in list(sys.modules.items()):
+            if _name.startswith("osmpbf_ray") and _mod is not None:
+                _cp.register_pickle_by_value(_mod)
+    except Exception:
+        pass
+
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "800000"))
@@ -242,6 +263,7 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _register_by_value()
 
     # repeat and take the fastest run: the first pays worker/import
     # warm-up, and the sandbox has bursty external contention — min is
