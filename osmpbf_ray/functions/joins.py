@@ -52,33 +52,36 @@ def broadcast_semi_join(ds, key_col: str, keys_ref) -> "ray.data.Dataset":
 def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):
     """``read_ways_and_deps`` equivalent (indexed.rs:264-330).
 
-    Pass 1: filter ways with the vectorized batch predicate, collect the
-    union of their ``refs`` (small side — materialized, it is the filtered
-    result). Pass 2: broadcast the id set and semi-join nodes.
-    Returns (matching_ways: pa.Table, dep_nodes: Dataset).
+    Pass 1: filter ways with the vectorized batch predicate; the matched
+    ways stay a DATASET (never pulled to the driver). Only the per-batch
+    UNIQUE flattened ``refs`` — the semi-join key set, the analog of the
+    reference's driver BTreeSet (indexed.rs:271) — come back, combined in
+    one batched ``ray.get``. Pass 2: broadcast the id set and semi-join
+    nodes. Returns (matching_ways: Dataset, dep_nodes: Dataset).
     """
     matched = ways_ds.map_batches(
         way_predicate_batch_fn, batch_format="pyarrow", zero_copy_batch=True
-    )
-    tbls = [ray.get(r) for r in matched.to_arrow_refs()]
-    if tbls:
-        ways_tbl = pa.concat_tables(tbls, promote_options="default")
-    else:  # zero-block edge: fall back to the canonical ways schema
-        from osmpbf_ray import schema as _schema
+    ).materialize()  # one pass over ways; reused for both outputs
 
-        ways_tbl = _schema.WAYS_SCHEMA.empty_table()
-    if ways_tbl.num_rows:
-        refs = pc.list_flatten(ways_tbl.column("refs").combine_chunks())
-        key_set = np.unique(refs.to_numpy(zero_copy_only=False))
-    else:
-        key_set = np.empty(0, dtype=np.int64)
+    def refs_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(batch.column("refs").combine_chunks())
+        return pa.table({"id": np.unique(flat.to_numpy(zero_copy_only=False))})
+
+    key_tbls = ray.get(
+        matched.select_columns(["refs"])
+        .map_batches(refs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    parts = [t.column("id").to_numpy() for t in key_tbls if t.num_rows]
+    key_set = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
     keys_ref = ray.put(key_set)
     deps = broadcast_semi_join(nodes_ds, "id", keys_ref)
-    return ways_tbl, deps
+    return matched, deps
 
 
-# per-worker-process cache for broadcast join tables (one object-store
-# fetch + pandas conversion per worker, not per batch)
+# per-worker-process cache for the most recent broadcast join table —
+# bounded at ONE entry (a long-lived worker would otherwise accumulate a
+# copy per distinct broadcast across jobs, outliving the driver's ref)
 _BCAST_CACHE: dict = {}
 
 
@@ -87,18 +90,22 @@ def broadcast_lookup_join(ds, small: pa.Table, key: str, how: str = "inner"):
 
     The 100 TB shape for selective joins: the big side streams through
     ``map_batches`` while the small side ships once via ``ray.put`` and
-    is joined per batch. Partitioning assumption: ``small`` fits in each
-    worker's heap — use ``partitioned_hash_join`` otherwise.
+    is joined per batch with the Arrow (acero) hash join — no pandas
+    round-trip. Partitioning assumption: ``small`` fits in each worker's
+    heap — use ``partitioned_hash_join`` otherwise.
     """
     import ray
 
     ref = ray.put(small)
+    join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
 
-    def join_batch(batch: pa.Table) -> pd.DataFrame:
-        cached = _BCAST_CACHE.get(ref.hex())
-        if cached is None:
-            cached = _BCAST_CACHE[ref.hex()] = ray.get(ref).to_pandas()
-        return batch.to_pandas().merge(cached, on=key, how=how)
+    def join_batch(batch: pa.Table) -> pa.Table:
+        hexkey = ref.hex()
+        if _BCAST_CACHE.get("key") != hexkey:
+            _BCAST_CACHE.clear()
+            _BCAST_CACHE["key"] = hexkey
+            _BCAST_CACHE["tbl"] = ray.get(ref)
+        return batch.join(_BCAST_CACHE["tbl"], keys=key, join_type=join_type)
 
     return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -103,8 +103,18 @@ class SpatialJoinStage:
 
 
 # per-worker-process index cache for the task-based join path: tasks are
-# elastic (no pool sizing), yet the index still builds once per worker
+# elastic (no pool sizing), yet the index still builds once per worker.
+# Bounded at ONE entry so long-lived workers never accumulate stale
+# indexes across jobs (the cached copy outlives the driver's ref).
 _TASK_INDEX_CACHE: dict = {}
+
+
+def _cached_index(key, build):
+    if _TASK_INDEX_CACHE.get("key") != key:
+        _TASK_INDEX_CACHE.clear()
+        _TASK_INDEX_CACHE["key"] = key
+        _TASK_INDEX_CACHE["value"] = build()
+    return _TASK_INDEX_CACHE["value"]
 
 
 def spatial_join(
@@ -133,10 +143,7 @@ def spatial_join(
         )
 
     def join_task(batch: pa.Table) -> pa.Table:
-        key = (polys_ref.hex(), z)
-        index = _TASK_INDEX_CACHE.get(key)
-        if index is None:
-            index = _TASK_INDEX_CACHE[key] = PolygonIndex(ray.get(polys_ref), z)
+        index = _cached_index((polys_ref.hex(), z), lambda: PolygonIndex(ray.get(polys_ref), z))
         lat = batch.column("lat").to_numpy()
         lon = batch.column("lon").to_numpy()
         pts, polys = index.join_batch(lat, lon)
@@ -165,6 +172,11 @@ class KnnStage:
         n, k = len(lat), self.k
         nn_ids = np.full((n, k), -1, dtype=np.int64)
         nn_d = np.full((n, k), np.inf)
+        if n == 0:  # Ray Data passes empty batches to UDFs; np.split of an
+            # empty order array would yield one empty group below
+            return batch.append_column(
+                "nn_ids", pa.array([], type=pa.list_(pa.int64()))
+            ).append_column("nn_dist_m", pa.array([], type=pa.list_(pa.float64())))
         # vectorize by query cell: all points in one cell share the same
         # k-ring candidate set, so ring expansion + the distance matrix +
         # the top-k run once per distinct cell, not once per row
@@ -197,3 +209,50 @@ def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9, concu
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def knn_join_exact(points_ds, ref_ids, ref_lat, ref_lon, k: int = 3,
+                   id_col: str = "c_custkey"):
+    """Exact kNN against a SMALL broadcast reference set, exploded to one
+    row per (point, rank, neighbor).
+
+    Oracle-reproducible by construction: planar-degree distance
+    ``sqrt(dlat² + dlon²)`` uses only IEEE-exact arithmetic (no trig), is
+    rounded half-away to 9 digits, and ties break on neighbor id — the
+    same ordering key a SQL ``row_number() OVER (ORDER BY dist, id)``
+    computes. The k-ring ``knn_join`` above is the scale path (indexed
+    candidates); this is the exact baseline it is tested against.
+    """
+    from osmpbf_ray.stages.ann import round_half_away
+
+    ref = ray.put((np.asarray(ref_ids, dtype=np.int64),
+                   np.asarray(ref_lat, dtype=np.float64),
+                   np.asarray(ref_lon, dtype=np.float64)))
+
+    def knn_task(batch: pa.Table) -> pa.Table:
+        rids, rlat, rlon = _cached_index(("knn_exact", ref.hex()), lambda: ray.get(ref))
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        n = len(lat)
+        kk = min(k, len(rids))
+        if n == 0 or kk == 0:
+            return pa.table({
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+                "rank": pa.array([], type=pa.int64()),
+                "nn_id": pa.array([], type=pa.int64()),
+                "dist_deg": pa.array([], type=pa.float64()),
+            })
+        d = round_half_away(
+            np.sqrt((lat[:, None] - rlat[None, :]) ** 2 + (lon[:, None] - rlon[None, :]) ** 2), 9
+        )
+        # rank by (dist, neighbor id): argsort the composite via lexsort per row
+        order = np.lexsort((np.broadcast_to(rids, d.shape), d), axis=1)[:, :kk]
+        ids = batch.column(id_col).to_numpy()
+        return pa.table({
+            id_col: np.repeat(ids, kk),
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
+            "nn_id": rids[order].ravel(),
+            "dist_deg": np.take_along_axis(d, order, axis=1).ravel(),
+        })
+
+    return points_ds.map_batches(knn_task, batch_format="pyarrow", zero_copy_batch=True)

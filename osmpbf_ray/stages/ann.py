@@ -23,8 +23,40 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def round_half_away(arr: np.ndarray, d: int) -> np.ndarray:
+    """DuckDB-compatible rounding (half away from zero); shared by the
+    partial AND final ranking so engine order == oracle order on ties."""
+    s = 10.0 ** d
+    return np.sign(arr) * np.floor(np.abs(arr) * s + 0.5) / s
+
+
+def vecs_to_numpy(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy-ish (n, d) matrix from an Arrow list/fixed_size_list
+    column: flatten once + reshape, never ``to_pylist`` (the old per-batch
+    Python materialization dominated the ANN stage cost)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return flat.reshape(0, 0).astype(dtype)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+    else:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if lens.min() != lens.max():
+            raise ValueError("ragged embedding column — expected fixed dimension")
+        d = int(lens[0])
+    m = flat.reshape(n, d)
+    return m if m.dtype == dtype else m.astype(dtype)
+
+
 class BruteForceTopK:
-    """Per-batch partial top-k against a broadcast query matrix."""
+    """Per-batch partial top-k against a broadcast query matrix.
+
+    Ranks on ROUNDED cosine with id tie-break (ties at a batch's k
+    boundary would otherwise select different rows than the oracle's
+    ``ORDER BY round(sim, 9) DESC, vec_id``)."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         qids, qvecs = ray.get(queries_ref)
@@ -34,18 +66,21 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
-        vecs = _unit(
-            np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
-        )
-        sim = vecs @ self.q.T  # (batch, nq)
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 self.id_col: pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        vecs = _unit(vecs_to_numpy(batch.column(self.vec_col)))
+        sim = round_half_away(vecs @ self.q.T, 9)  # (batch, nq)
         k = min(self.k, len(ids))
-        top = np.argpartition(-sim, k - 1, axis=0)[:k]  # (k, nq)
         out_q, out_id, out_sim = [], [], []
         for qi in range(sim.shape[1]):
-            rows = top[:, qi]
+            order = np.lexsort((ids, -sim[:, qi]))[:k]
             out_q.append(np.full(k, self.qids[qi]))
-            out_id.append(ids[rows])
-            out_sim.append(sim[rows, qi])
+            out_id.append(ids[order])
+            out_sim.append(sim[order, qi])
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),
@@ -99,7 +134,9 @@ class IvfAssignStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _unit(np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list", pa.array([], type=pa.int64()))
+        vecs = _unit(vecs_to_numpy(batch.column(self.vec_col)))
         assign = (vecs @ self.cent.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(assign))
 
@@ -139,8 +176,14 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy()
+            if len(ids) == 0:
+                return pa.table(
+                    {"query_id": pa.array([], type=pa.int64()),
+                     id_col: pa.array([], type=pa.int64()),
+                     "cosine": pa.array([], type=pa.float64())}
+                )
             lists = batch.column("ivf_list").to_numpy()
-            vecs = _unit(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+            vecs = _unit(vecs_to_numpy(batch.column(vec_col)))
             out_q, out_id, out_sim = [], [], []
             for li in np.unique(lists):
                 qrows = self.probe_map.get(int(li))

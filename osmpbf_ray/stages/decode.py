@@ -62,12 +62,24 @@ def _decode_tags(
 
 
 def decode_blocks(batch: pa.Table) -> pa.Table:
-    """map_batches fn: BLOCKS_SCHEMA rows in → NODES_SCHEMA rows out."""
+    """map_batches fn: BLOCKS_SCHEMA rows in → NODES_SCHEMA rows out.
+
+    Two node encodings decode to identical logical rows (the reference's
+    encoding-invariance contract, tests/read.rs:15-31):
+
+    * ``kind="dense"`` — DenseNodes: delta-coded arrays, cumsum decode
+      (src/dense.rs:86-183); DenseInfo deltas likewise.
+    * ``kind="nodes"`` — plain Node messages mapped columnar: the same
+      columns carry ABSOLUTE values (no cumsum; src/elements.rs:31-131),
+      info fields absolute too.
+    """
     out_tables = []
     kinds = batch.column("kind").to_pylist()
     for i in range(batch.num_rows):
-        if kinds[i] != "dense":
+        kind = kinds[i]
+        if kind not in ("dense", "nodes"):
             continue  # header/unknown passthrough-skip (blob.rs:95)
+        is_dense = kind == "dense"
         row = {name: batch.column(name)[i] for name in batch.column_names}
         id_delta = np.asarray(row["id_delta"].as_py(), dtype=np.int64)
         n = len(id_delta)
@@ -78,9 +90,10 @@ def decode_blocks(batch: pa.Table) -> pa.Table:
         lon_off = np.int64(row["lon_offset"].as_py() or 0)
         dgran = np.int64(row["date_granularity"].as_py() or 1000)
 
-        ids = np.cumsum(id_delta)
-        nano_lat = lat_off + gran * np.cumsum(np.asarray(row["lat_delta"].as_py(), dtype=np.int64))
-        nano_lon = lon_off + gran * np.cumsum(np.asarray(row["lon_delta"].as_py(), dtype=np.int64))
+        _acc = np.cumsum if is_dense else np.asarray
+        ids = _acc(id_delta)
+        nano_lat = lat_off + gran * _acc(np.asarray(row["lat_delta"].as_py(), dtype=np.int64))
+        nano_lon = lon_off + gran * _acc(np.asarray(row["lon_delta"].as_py(), dtype=np.int64))
 
         st = [bytes(b) for b in row["stringtable"].as_py() or []]
         kv = np.asarray(row["keys_vals"].as_py() or [], dtype=np.int64)
@@ -107,10 +120,10 @@ def decode_blocks(batch: pa.Table) -> pa.Table:
         visible = row["visible"].as_py() or []
         has_info = len(version) == n
         if has_info:
-            ts_ms = np.cumsum(ts_delta) * dgran
-            changeset = np.cumsum(cs_delta)
-            uid = np.cumsum(uid_delta).astype(np.int32)
-            user_sid = np.cumsum(us_delta).astype(np.int64)
+            ts_ms = _acc(ts_delta) * dgran
+            changeset = _acc(cs_delta)
+            uid = _acc(uid_delta).astype(np.int32)
+            user_sid = _acc(us_delta).astype(np.int64)
             users = [
                 st[s].decode("utf-8", "replace") if 0 <= s < len(st) else ""
                 for s in user_sid

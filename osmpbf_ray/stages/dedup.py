@@ -2,14 +2,28 @@
 phash Hamming banding, embedding-cosine near-dup.
 
 Engine-new (SURVEY.md §2.7 notes the reference has none; the north rule
-requires phash dedup on the image table). The common scale shape:
+requires phash dedup on the image table). The common scale shape is
+TWO-PHASE LSH:
 
-  per-batch signature (vectorized)  →  explode to (band, value) rows
-  →  groupby(band key)              →  per-group verify (tiny groups)
+  phase 1 (candidates): per-batch signature (vectorized) → explode to
+    (band, key, id) rows — IDS ONLY, never documents or signatures —
+    → groupby(band key) → all-pairs inside (tiny) buckets → pair dedup
+  phase 2 (verify): broadcast-semi-join the CANDIDATE ids back against
+    the source table, recompute/fetch only their payloads (bounded by
+    the true near-dup count), verify exactly, filter by threshold.
 
-so the shuffle moves signature rows, never documents, and the quadratic
-verify happens only inside LSH buckets. All hashes are deterministic
-across processes (crc32/splitmix — no PYTHONHASHSEED dependence).
+so the wide shuffle moves ~16 bytes per (doc, band) and the expensive
+payloads touch only candidates. All hashes are deterministic across
+processes (crc32/splitmix — no PYTHONHASHSEED dependence).
+
+Recall design (the round-1 holes, VERDICT "What's wrong" 3/4):
+* SimHash banding uses ``n_bands = max_dist + 1`` so the pigeonhole
+  guarantee covers the requested distance exactly (any two hashes within
+  Hamming ``max_dist`` share at least one of ``max_dist + 1`` bit-bands).
+* embedding LSH uses banded multi-table hyperplanes (OR over
+  ``n_bands`` bands of ``bits_per_band`` sign bits — the MinHash-style
+  S-curve); at cosine 0.9 with 16×8 the miss probability is < 0.005,
+  vs ~92% for the old single 16-plane table.
 """
 
 from __future__ import annotations
@@ -54,7 +68,8 @@ def exact_dedup(ds, key_col: str, order_col: str):
 
 
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-char shingle set (vectorized per doc)."""
+    """uint64 hashes of the k-char shingle set (vectorized per doc).
+    Always returns at least one hash (crc fallback for short docs)."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(data) < k:
         return splitmix64(np.array([zlib.crc32(text.encode())], dtype=np.uint64))
@@ -75,89 +90,155 @@ def minhash_signature(shingles: np.ndarray, n_perm: int = 64) -> np.ndarray:
     return (shingles[None, :] ^ seeds[:, None]).min(axis=1)
 
 
+def minhash_signatures(texts: list, k: int = 5, n_perm: int = 64) -> np.ndarray:
+    """(n_docs, n_perm) signature matrix, vectorized across the batch:
+    one flat shingle array + per-permutation segmented ``minimum.reduceat``
+    instead of a per-doc Python minhash loop (the round-1 hot spot)."""
+    sh = [char_shingle_hashes(str(t), k) for t in texts]
+    if not sh:
+        return np.empty((0, n_perm), dtype=np.uint64)
+    lens = np.array([len(s) for s in sh], dtype=np.int64)
+    flat = np.concatenate(sh)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    seeds = _MINHASH_SEEDS[:n_perm]
+    sigs = np.empty((len(sh), n_perm), dtype=np.uint64)
+    for p in range(n_perm):
+        sigs[:, p] = np.minimum.reduceat(flat ^ seeds[p], offs)
+    return sigs
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
 
 
-class MinHashStage:
-    """Actor stage: text → minhash signature + LSH band keys, exploded.
+def _band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, n_bands) int64 band keys combining ALL slots of each band."""
+    n, n_perm = sigs.shape
+    chunks = sigs.reshape(n, n_bands, n_perm // n_bands)
+    h = np.full((n, n_bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for j in range(chunks.shape[2]):
+        h = splitmix64(h ^ chunks[:, :, j])
+    return h.view(np.int64)
 
-    Emits ``n_bands`` rows per document: (band, band_hash, doc id).
-    Bands of ``rows_per_band`` signature slots each; two docs share a
-    band key iff that band's slots all agree — the standard LSH S-curve.
-    """
+
+class MinHashStage:
+    """Stage: text → exploded (doc id, band, band_hash) rows — ids only.
+
+    ``n_bands`` rows of ~16 payload bytes per document enter the shuffle;
+    signatures and text never do (round 1 shipped the full 64-slot
+    signature with every band row — 16× amplification of the widest
+    column)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 5, n_perm: int = 64, n_bands: int = 16):
         assert n_perm % n_bands == 0
         self.id_col, self.text_col = id_col, text_col
         self.k, self.n_perm, self.n_bands = k, n_perm, n_bands
-        self.rows_per_band = n_perm // n_bands
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        sigs = np.empty((n, self.n_perm), dtype=np.uint64)
-        for i, text in enumerate(batch[self.text_col]):
-            sigs[i] = minhash_signature(char_shingle_hashes(str(text), self.k), self.n_perm)
-        chunks = sigs.reshape(n, self.n_bands, self.rows_per_band)
-        second = chunks[:, :, 1] if self.rows_per_band > 1 else chunks[:, :, 0]
-        bh = splitmix64(chunks[:, :, 0] ^ splitmix64(second)).astype(np.int64)
-        # one materialized signature list per doc, band rows share it by
-        # reference (the old per-band tolist() dominated the stage cost)
-        sig_lists = sigs.astype(np.int64).tolist()
-        return pd.DataFrame(
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = minhash_signatures(texts, self.k, self.n_perm)
+        bh = _band_hashes(sigs, self.n_bands) if len(texts) else np.empty((0, self.n_bands), np.int64)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
             {
-                self.id_col: np.repeat(batch[self.id_col].to_numpy(), self.n_bands),
-                "band": np.tile(np.arange(self.n_bands), n),
+                self.id_col: np.repeat(ids, self.n_bands),
+                "band": np.tile(np.arange(self.n_bands, dtype=np.int64), len(texts)),
                 "band_hash": bh.ravel(),
-                "sig": [sig_lists[i] for i in np.repeat(np.arange(n), self.n_bands)],
             }
         )
 
 
-def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
-                            k=5, n_perm=64, n_bands=16, threshold=0.7, concurrency=(1, 4)):
-    """MinHash+LSH near-dup: candidate pairs with estimated Jaccard ≥ threshold.
-
-    ``groupby(band, band_hash)`` co-locates collisions; pairs verified by
-    signature agreement inside each (tiny) bucket; de-duplicated across
-    bands by a final groupby on the pair key.
-    """
-    exploded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, k=k, n_perm=n_perm, n_bands=n_bands
-        ),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
-
+def _bucket_pairs_fn(id_col: str):
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "est_jaccard": pd.Series(dtype="float64")})
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        sigs = np.array(g["sig"].tolist(), dtype=np.int64)
-        out_a, out_b, est = [], [], []
-        for i in range(len(ids)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= threshold)
-            for j in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                est.append(float(agree[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        iu = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    return bucket_pairs
+
+
+def _dedup_pairs(pairs_ds):
+    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
     )
-    # same pair can surface from several bands — keep one
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+def _collect_ids(pairs_ds) -> np.ndarray:
+    """Candidate-pair ids (SMALL by LSH design — bounded by true
+    near-dups + band collisions)."""
+    import ray
+
+    tbls = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return np.empty(0, dtype=np.int64)
+    t = pa.concat_tables(tbls, promote_options="default")
+    return np.unique(np.concatenate([t.column("id_a").to_numpy(), t.column("id_b").to_numpy()]))
+
+
+def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
+                            k=5, n_perm=64, n_bands=16, threshold=0.7, concurrency=None):
+    """MinHash+LSH near-dup: pairs with estimated Jaccard ≥ threshold.
+
+    Phase 1: banded LSH on ids only. Phase 2: recompute full signatures
+    for the CANDIDATE docs alone (broadcast semi-join on the source) and
+    verify estimated Jaccard by signature agreement.
+    """
+    import ray
+    import ray.data as rd
+
+    from osmpbf_ray.functions.joins import broadcast_semi_join
+
+    exploded = ds.map_batches(
+        MinHashStage(id_col=id_col, text_col=text_col, k=k, n_perm=n_perm, n_bands=n_bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = _dedup_pairs(
+        exploded.groupby(["band", "band_hash"]).map_groups(
+            _bucket_pairs_fn(id_col), batch_format="pandas"
+        )
+    )
+    cand_ids = _collect_ids(pairs)
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "est_jaccard": pa.array([], type=pa.float64())})
+    if len(cand_ids) == 0:
+        return rd.from_arrow(empty)
+
+    cand_docs = broadcast_semi_join(
+        ds.select_columns([id_col, text_col]), id_col, ray.put(cand_ids)
+    )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        sigs = minhash_signatures(batch.column(text_col).to_pylist(), k, n_perm)
+        return pa.table({id_col: batch.column(id_col),
+                         "sig": pa.array(list(sigs.view(np.int64)), type=pa.list_(pa.int64()))})
+
+    sig_tbls = [t for t in ray.get(
+        cand_docs.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()) if t.num_rows]
+    sig_tbl = pa.concat_tables(sig_tbls, promote_options="default")
+    sig_map = dict(zip(sig_tbl.column(id_col).to_pylist(),
+                       (np.asarray(s, dtype=np.int64) for s in sig_tbl.column("sig").to_pylist())))
+    sig_ref = ray.put(sig_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sigs = ray.get(sig_ref)
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        est = np.array(
+            [float((sigs[x] == sigs[y]).mean()) for x, y in zip(a, b)], dtype=np.float64
+        ) if a else np.empty(0)
+        out = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
+        return out.filter(pa.array(est >= threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -191,35 +272,46 @@ class SimHashStage:
 # --- Hamming banding (shared by simhash + phash near-dup) -------------------
 
 
+def _band_layout(n_bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band, covering all 64 bits with near-equal widths."""
+    base, rem = divmod(64, n_bands)
+    out, shift = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
 def hamming_near_dup_pairs(ds, hash_col: str, id_col: str, max_dist: int = 8,
-                           n_bands: int = 4):
+                           n_bands: int | None = None):
     """Near-dup pairs among 64-bit hashes via band-exact LSH + Hamming verify.
 
-    Split each hash into ``n_bands`` equal bit-bands; two hashes within
-    Hamming distance < 64/n_bands·? share at least one exact band by
-    pigeonhole when max_dist < n_bands. groupby(band, value) then verify.
+    GUARANTEED recall for distances ≤ ``max_dist``: the hash splits into
+    ``n_bands = max_dist + 1`` bit-bands (default), so by pigeonhole two
+    hashes within ``max_dist`` differing bits agree exactly on at least
+    one band and land in the same bucket. (Round 1 used 4 fixed bands
+    with max_dist=16 — distances 4–16 were silently missed.)
     """
-    width = 64 // n_bands
-    mask = np.uint64((1 << width) - 1)
+    if n_bands is None:
+        n_bands = max_dist + 1
+    layout = _band_layout(n_bands)
 
     def explode(batch: pa.Table) -> pa.Table:
-        h = batch.column(hash_col).to_numpy().astype(np.uint64)
-        ids = batch.column(id_col)
-        out_ids, out_band, out_val, out_hash = [], [], [], []
-        for b in range(n_bands):
-            val = ((h >> np.uint64(b * width)) & mask).astype(np.int64)
-            out_ids.append(ids)
-            out_band.append(pa.array(np.full(len(h), b, dtype=np.int64)))
-            out_val.append(pa.array(val))
-            out_hash.append(batch.column(hash_col))
-        return pa.table(
-            {
-                id_col: pa.concat_arrays([pa.array(c.to_pylist()) for c in out_ids]),
-                "band": pa.concat_arrays(out_band),
-                "band_val": pa.concat_arrays(out_val),
-                hash_col: pa.concat_arrays([pa.array(c.to_pylist()) for c in out_hash]),
-            }
-        )
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        parts = []
+        for b, (shift, width) in enumerate(layout):
+            mask = np.uint64((1 << width) - 1)
+            val = ((h >> np.uint64(shift)) & mask).view(np.int64)
+            parts.append(pa.table({
+                id_col: batch.column(id_col),
+                "band": pa.array(np.full(len(h), b, dtype=np.int64)),
+                "band_val": pa.array(val),
+                hash_col: batch.column(hash_col),
+            }))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {id_col: batch.column(id_col), "band": pa.array([], type=pa.int64()),
+             "band_val": pa.array([], type=pa.int64()), hash_col: batch.column(hash_col)})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -257,12 +349,23 @@ def phash_exact_dedup(images_ds):
 
 def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
                         threshold=0.5):
-    """Exact n-gram Jaccard for candidate pairs (small candidate set:
-    texts fetched via driver-side broadcast dict)."""
+    """Exact n-gram Jaccard verify for candidate pairs.
+
+    Fetches ONLY the candidate docs' texts (broadcast semi-join on the
+    candidate id set) — never the whole corpus (round 1 built a
+    driver-side dict of every document text)."""
     import ray
 
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(batch_format="pyarrow"):
+    from osmpbf_ray.functions.joins import broadcast_semi_join
+
+    cand_ids = _collect_ids(pairs_ds)
+    if len(cand_ids) == 0:
+        return pairs_ds
+    cand_docs = broadcast_semi_join(
+        ds.select_columns([id_col, text_col]), id_col, ray.put(cand_ids)
+    )
+    texts: dict = {}
+    for b in cand_docs.iter_batches(batch_format="pyarrow"):
         texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
     ref = ray.put(texts)
 
@@ -287,52 +390,107 @@ def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
 # --- embedding cosine near-dup ---------------------------------------------
 
 
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+class HyperplaneBandStage:
+    """vec → exploded (id, band, key) rows: sign bits of ``bits_per_band``
+    hyperplanes per band, ``n_bands`` bands (multi-table OR — the
+    S-curve that the round-1 single 16-plane table lacked)."""
+
+    def __init__(self, planes_ref, id_col: str, vec_col: str,
+                 n_bands: int, bits_per_band: int):
+        import ray
+
+        self.planes = ray.get(planes_ref)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_bands, self.bits = n_bands, bits_per_band
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmpbf_ray.stages.ann import vecs_to_numpy
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({self.id_col: pa.array([], type=pa.int64()),
+                             "band": pa.array([], type=pa.int64()),
+                             "band_key": pa.array([], type=pa.int64())})
+        vecs = vecs_to_numpy(batch.column(self.vec_col))
+        bits = (vecs @ self.planes.T) > 0  # (n, n_bands*bits)
+        bits = bits.reshape(n, self.n_bands, self.bits)
+        keys = (bits * (1 << np.arange(self.bits, dtype=np.int64))).sum(axis=2)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_col: np.repeat(ids, self.n_bands),
+            "band": np.tile(np.arange(self.n_bands, dtype=np.int64), n),
+            "band_key": keys.astype(np.int64).ravel(),
+        })
+
+
 def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
-                             threshold=0.95, n_planes=16, seed=7, concurrency=(1, 4)):
-    """Near-dup by cosine ≥ threshold: random-hyperplane LSH buckets +
-    exact cosine verify within buckets."""
+                             threshold=0.9, n_bands=16, bits_per_band=8,
+                             seed=7, concurrency=None):
+    """Near-dup by cosine ≥ threshold: banded hyperplane LSH candidates
+    (ids only through the shuffle) + exact cosine verify on candidates.
+
+    Output: (id_a, id_b, cosine) with cosine rounded half-away to 9
+    digits. Miss probability at cosine 0.9 with 16 bands × 8 bits is
+    ≈ (1 − 0.29)¹⁶ < 0.005; planted duplicates at ≥ 0.98 are found with
+    probability ≈ 1 − 1e-8.
+    """
     import ray
+    import ray.data as rd
 
-    def make_planes(dim):
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal((n_planes, dim))
+    from osmpbf_ray.functions.joins import broadcast_semi_join
+    from osmpbf_ray.stages.ann import round_half_away, vecs_to_numpy
 
-    first = ds.take(1)[0]
-    planes_ref = ray.put(make_planes(len(first[vec_col])))
+    first = ds.take(1)
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64())})
+    if not first:
+        return rd.from_arrow(empty)
+    dim = len(first[0][vec_col])
+    planes_ref = ray.put(hyperplanes(dim, n_bands * bits_per_band, seed))
 
-    class Bucket:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = np.array(batch[vec_col].tolist(), dtype=np.float64)
-            bits = (vecs @ self.planes.T) > 0
-            key = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            out = batch[[id_col]].copy()
-            out["bucket"] = key.astype(np.int64)
-            out["vec"] = [v.tolist() for v in vecs]
-            return out
-
-    bucketed = ds.map_batches(Bucket, batch_format="pandas", concurrency=concurrency)
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        vecs = np.array(g["vec"].tolist())
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms[:, None]
-        sim = unit @ unit.T
-        iu = np.triu_indices(len(ids), 1)
-        hit = sim[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][hit]],
-                "id_b": ids[iu[1][hit]],
-                "cosine": sim[iu][hit],
-            }
+    exploded = ds.map_batches(
+        HyperplaneBandStage(planes_ref, id_col, vec_col, n_bands, bits_per_band),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = _dedup_pairs(
+        exploded.groupby(["band", "band_key"]).map_groups(
+            _bucket_pairs_fn(id_col), batch_format="pandas"
         )
+    )
+    cand_ids = _collect_ids(pairs)
+    if len(cand_ids) == 0:
+        return rd.from_arrow(empty)
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    cand_vec_ds = broadcast_semi_join(
+        ds.select_columns([id_col, vec_col]), id_col, ray.put(cand_ids)
+    )
+    vid, vecs = [], []
+    for b in cand_vec_ds.iter_batches(batch_format="pyarrow"):
+        vid.extend(b.column(id_col).to_pylist())
+        if b.num_rows:
+            vecs.append(vecs_to_numpy(b.column(vec_col)))
+    mat = np.concatenate(vecs) if vecs else np.empty((0, dim))
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    lookup = {i: j for j, i in enumerate(vid)}
+    vec_ref = ray.put((lookup, unit))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lk, u = ray.get(vec_ref)
+        a = [lk[i] for i in batch.column("id_a").to_pylist()]
+        b = [lk[i] for i in batch.column("id_b").to_pylist()]
+        cos = round_half_away(np.einsum("ij,ij->i", u[a], u[b]), 9) if a else np.empty(0)
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "cosine", pa.array(cos, type=pa.float64())
+        )
+        return out.filter(pa.array(cos >= threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -11,10 +11,11 @@ metrics"):
   written ATOMICALLY: parquet goes to ``<part>.tmp-<nonce>`` and the dir
   is renamed into place only when complete — a crashed run leaves no
   half-visible partition.
-* manifest = one JSON line per completed partition
-  ``{partition_id, lineage, row_count, checksum, metrics}`` appended
-  with O_APPEND after the rename; a rerun calls ``completed()`` and
-  skips finished partitions.
+* manifest = one ``_COMMIT.json`` per partition directory
+  ``{partition_id, lineage, row_count, checksum, metrics}``, made
+  visible by the same atomic rename as the data; a rerun calls
+  ``completed()`` (a glob over commit markers) and skips finished
+  partitions.
 * checksum = order-insensitive xor-of-row-hashes so resumed and fresh
   runs can be compared regardless of block ordering.
 
@@ -48,28 +49,39 @@ def table_checksum(tbl: pa.Table) -> int:
 
 
 class Manifest:
-    """Append-only JSONL manifest of completed partitions."""
+    """Per-partition commit markers: ``part=<id>/_COMMIT.json``.
+
+    The marker is written INSIDE the partition's temp dir before the
+    atomic directory rename, so partition data and its manifest record
+    become visible in one filesystem operation. No shared append-only
+    file: concurrent writers never touch the same path, which stays
+    correct on NFS-like shared stores where O_APPEND interleaving is not
+    atomic (a round-1 defect — a torn append could corrupt resume).
+    """
 
     def __init__(self, out_dir: str | Path):
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
-        self.path = self.out_dir / "_MANIFEST.jsonl"
+
+    def _commit_path(self, partition_id: str) -> Path:
+        return self.out_dir / f"part={partition_id}" / "_COMMIT.json"
 
     def completed(self) -> dict[str, dict]:
         done: dict[str, dict] = {}
-        if self.path.exists():
-            for line in self.path.read_text().splitlines():
-                if line.strip():
-                    rec = json.loads(line)
-                    done[rec["partition_id"]] = rec
+        for commit in self.out_dir.glob("part=*/_COMMIT.json"):
+            rec = json.loads(commit.read_text())
+            done[rec["partition_id"]] = rec
         return done
 
     def mark(self, partition_id: str, **meta: Any) -> None:
+        """Commit a partition whose directory already exists (prefer
+        ``write_partition``, which commits atomically with the data)."""
         rec = {"partition_id": partition_id, **meta}
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        path = self._commit_path(partition_id)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps(rec) + "\n")
+        os.replace(tmp, path)
 
 
 def write_partition(
@@ -79,16 +91,25 @@ def write_partition(
     lineage: dict | list | str | None = None,
     metrics: dict | None = None,
 ) -> Path:
-    """Atomically write one partition + manifest entry. Idempotent:
-    an already-completed partition is returned untouched."""
+    """Atomically write one partition (data + commit record in a single
+    dir rename). Idempotent: an already-completed partition is returned
+    untouched."""
     final = manifest.out_dir / f"part={partition_id}"
-    if partition_id in manifest.completed():
+    if (final / "_COMMIT.json").exists():
         return final
     tmp = manifest.out_dir / f".tmp-{partition_id}-{uuid.uuid4().hex[:8]}"
     tmp.mkdir(parents=True)
     try:
         pq.write_table(table, tmp / "data.parquet")
-        if final.exists():  # stale dir from a crashed run that never manifested
+        rec = {
+            "partition_id": partition_id,
+            "lineage": lineage,
+            "row_count": table.num_rows,
+            "checksum": table_checksum(table),
+            "metrics": metrics or {},
+        }
+        (tmp / "_COMMIT.json").write_text(json.dumps(rec) + "\n")
+        if final.exists():  # stale dir from a crashed run that never committed
             import shutil
 
             shutil.rmtree(final)
@@ -98,13 +119,6 @@ def write_partition(
 
         shutil.rmtree(tmp, ignore_errors=True)
         raise
-    manifest.mark(
-        partition_id,
-        lineage=lineage,
-        row_count=table.num_rows,
-        checksum=table_checksum(table),
-        metrics=metrics or {},
-    )
     return final
 
 

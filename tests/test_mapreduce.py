@@ -63,11 +63,11 @@ def test_ways_and_deps_golden():
     (tests/read.rs:295-319)."""
     ways = rd.from_arrow(fixtures.golden_ways())
     nodes = rd.from_arrow(fixtures.golden_nodes())
-    ways_tbl, deps = joins.ways_and_deps(
+    ways_ds, deps = joins.ways_and_deps(
         ways, nodes, lambda b: filter_by_tag(b, "building", "yes")
     )
-    assert ways_tbl.num_rows == 1
-    assert ways_tbl.column("id").to_pylist() == [107]
+    assert ways_ds.count() == 1
+    assert ways_ds.to_pandas()["id"].tolist() == [107]
     dep_ids = sorted(deps.to_pandas()["id"].tolist())
     assert dep_ids == [105, 106, 108]
 
@@ -75,10 +75,10 @@ def test_ways_and_deps_golden():
 def test_ways_and_deps_no_match():
     ways = rd.from_arrow(fixtures.golden_ways())
     nodes = rd.from_arrow(fixtures.golden_nodes())
-    ways_tbl, deps = joins.ways_and_deps(
+    ways_ds, deps = joins.ways_and_deps(
         ways, nodes, lambda b: filter_by_tag(b, "building", "no_such")
     )
-    assert ways_tbl.num_rows == 0
+    assert ways_ds.count() == 0
     assert deps.count() == 0
 
 

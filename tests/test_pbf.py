@@ -1,0 +1,204 @@
+"""Real .osm.pbf container conformance: write → scan → decompress →
+parse → decode through Ray Data, matching the reference's golden-world
+assertions (/root/reference/tests/read.rs:105-204, 270-292) and its
+encoding-invariance matrix (tests/read.rs:15-31: zlib+dense, raw+dense,
+raw+plain-nodes must yield identical logical content)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from osmpbf_ray import schema
+from osmpbf_ray.sources import fixtures, pbf
+from osmpbf_ray.sources import pbwire as w
+from osmpbf_ray.stages import decode
+
+
+# --- wire codec -------------------------------------------------------------
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 2**63, 1000, dtype=np.int64).view(np.uint64),
+            np.array([0, 1, 127, 128, 16383, 16384, 2**64 - 1], dtype=np.uint64),
+        ]
+    )
+    assert (w.decode_varints(w.encode_varints(vals)) == vals).all()
+
+
+def test_zigzag_roundtrip():
+    s = np.array([0, -1, 1, -2, 2, 2**62, -(2**62)], dtype=np.int64)
+    assert (w.zigzag_decode(w.zigzag_encode(s)) == s).all()
+
+
+def test_truncated_varint_raises():
+    with pytest.raises(ValueError):
+        w.decode_varints(b"\x80\x80")  # continuation bit never clears
+
+
+# --- golden world, all encodings --------------------------------------------
+
+
+def _write_golden(tmp_path, compress, dense):
+    path = str(tmp_path / f"golden_{compress}_{dense}.osm.pbf")
+    pbf.write_pbf(
+        path,
+        nodes=fixtures.golden_nodes(),
+        ways=fixtures.golden_ways(),
+        relations=fixtures.golden_relations(),
+        compress=compress,
+        dense=dense,
+        header={
+            "bbox_left": -10_000_000_000,
+            "bbox_right": 20_000_000_000,
+            "bbox_top": 60_000_000_000,
+            "bbox_bottom": 40_000_000_000,
+            "osmosis_replication_sequence_number": 273,
+        },
+    )
+    return path
+
+
+@pytest.mark.parametrize("compress,dense", [("zlib", True), ("raw", True), ("raw", False), ("zlib", False)])
+def test_golden_world_roundtrip(tmp_path, compress, dense):
+    """Same logical content whatever the encoding (tests/read.rs:15-31)."""
+    path = _write_golden(tmp_path, compress, dense)
+    nodes = pbf.read_pbf_nodes(path).to_pandas().sort_values("id")
+    assert nodes["id"].tolist() == [105, 106, 108]
+    assert nodes["nano_lat"].tolist() == fixtures.GOLDEN_NANO_LAT
+    assert nodes["nano_lon"].tolist() == fixtures.GOLDEN_NANO_LON
+    # degree precision 1e-6 like tests/read.rs:75-77; nano exact above
+    assert abs(nodes["lat"].iloc[0] - 52.1224031) < 1e-6
+    info = nodes["info"].iloc[0]
+    assert info["user"] == "testuser" and info["visible"] and info["version"] == 1
+
+    ways = pbf.read_pbf_ways(path).to_pandas()
+    assert ways["id"].tolist() == [107]
+    assert list(ways["refs"].iloc[0]) == [105, 106, 108, 105]  # order semantic
+    tags = {t["key"]: t["value"] for t in ways["tags"].iloc[0]}
+    assert tags == {"building": "yes", "name": "triangle"}
+
+    rels = pbf.read_pbf_relations(path).to_pandas()
+    m = rels["members"].iloc[0][0]
+    assert m["role"] == "test_role" and m["member_id"] == 107 and m["member_type"] == schema.MEMBER_WAY
+
+
+def test_header_metadata(tmp_path):
+    path = _write_golden(tmp_path, "zlib", True)
+    hdr = pbf.read_pbf_header(path)
+    assert abs(hdr["bbox"]["left"] + 10.0) < 1e-12
+    assert abs(hdr["bbox"]["top"] - 60.0) < 1e-12
+    assert "OsmSchema-V0.6" in hdr["required_features"]
+    assert "DenseNodes" in hdr["required_features"]
+    assert hdr["replication"]["sequence_number"] == 273
+    assert hdr["writingprogram"] == "osmpbf_ray"
+
+
+def test_count_five_elements_via_pbf(tmp_path):
+    """5 elements total, sequential == parallel (tests/read.rs:270-292)."""
+    path = _write_golden(tmp_path, "zlib", True)
+    n = (
+        pbf.read_pbf_nodes(path).count()
+        + pbf.read_pbf_ways(path).count()
+        + pbf.read_pbf_relations(path).count()
+    )
+    assert n == 5
+
+
+def test_scan_blobs_offsets(tmp_path):
+    """Header-only scan: types and seekable offsets (blob.rs:402-428)."""
+    path = _write_golden(tmp_path, "raw", True)
+    descs = pbf.scan_blobs(path)
+    assert descs[0]["type"] == "OSMHeader"
+    assert all(d["type"] == "OSMData" for d in descs[1:])
+    # random access: decode the LAST data blob directly from its offset
+    d = descs[-1]
+    block = pbf.parse_primitive_block(pbf._read_payload(path, d["offset"], d["datasize"]))
+    assert block["groups"]
+
+
+def test_unknown_blob_type_skipped(tmp_path):
+    """Unknown blob types are skipped, never an error (blob.rs:27-29)."""
+    path = _write_golden(tmp_path, "zlib", True)
+    with open(path, "ab") as f:
+        f.write(pbf._blob_frame("SomeFutureType", b"\x0a\x00", "raw"))
+    descs = pbf.scan_blobs(path)
+    assert descs[-1]["type"] == "SomeFutureType"
+    assert pbf.read_pbf_nodes(path).count() == 3  # unchanged
+
+
+def test_unsupported_compression_raises():
+    blob = w.field_len(4, b"xxxx")  # lzma_data
+    with pytest.raises(ValueError, match="unsupported blob compression"):
+        pbf.decode_blob(blob)
+
+
+def test_locations_on_ways_roundtrip(tmp_path):
+    path = str(tmp_path / "locs.osm.pbf")
+    pbf.write_pbf(
+        path,
+        ways=fixtures.golden_ways(with_locations=True),
+        header={"optional_features": ["LocationsOnWays"]},
+    )
+    assert "LocationsOnWays" in pbf.read_pbf_header(path)["optional_features"]
+    ways = pbf.read_pbf_ways(path).to_pandas()
+    locs = ways["locations"].iloc[0]
+    assert [l["nano_lat"] for l in locs] == [
+        fixtures.GOLDEN_NANO_LAT[0],
+        fixtures.GOLDEN_NANO_LAT[1],
+        fixtures.GOLDEN_NANO_LAT[2],
+        fixtures.GOLDEN_NANO_LAT[0],
+    ]
+
+
+def test_history_visible_roundtrip(tmp_path):
+    """deleted_nodes.osh.pbf analog: visible false survives the container
+    (tests/read.rs:322-340). Plain encoding — dense delta ids assume
+    distinct elements; history files carry versions of the same id."""
+    path = str(tmp_path / "hist.osm.pbf")
+    pbf.write_pbf(path, nodes=fixtures.history_nodes(), dense=False,
+                  header={"required_features": ["OsmSchema-V0.6", "HistoricalInformation"]})
+    nodes = pbf.read_pbf_nodes(path).to_pandas().sort_values("nano_lat")
+    assert [i["visible"] for i in nodes["info"]] == [False, True]
+    assert [i["version"] for i in nodes["info"]] == [1, 2]
+
+
+def test_larger_world_parallel_decode(tmp_path):
+    """Multi-blob file through the Ray path; ids/coords exact."""
+    n = 30_000
+    ids = np.arange(1, n + 1, dtype=np.int64) * 7
+    nano_lat = ((ids * 37) % 120_000_000_000) - 60_000_000_000
+    nano_lat -= nano_lat % 100  # granularity-100 exact
+    nano_lon = ((ids * 91) % 360_000_000_000) - 180_000_000_000
+    nano_lon -= nano_lon % 100
+    nodes = pa.table(
+        {
+            "id": ids,
+            "lat": nano_lat * 1e-9,
+            "lon": nano_lon * 1e-9,
+            "nano_lat": nano_lat,
+            "nano_lon": nano_lon,
+            "tags": pa.array([[]] * n, type=schema.NODES_SCHEMA.field("tags").type),
+            "info": pa.nulls(n, type=schema.INFO_STRUCT),
+        },
+        schema=schema.NODES_SCHEMA,
+    )
+    path = str(tmp_path / "big.osm.pbf")
+    nblobs = pbf.write_pbf(path, nodes=nodes, nodes_per_block=4096)
+    assert nblobs == 1 + (n + 4095) // 4096
+    out = pa.concat_tables(ray.get(pbf.read_pbf_nodes(path).to_arrow_refs())).sort_by("id")
+    assert out.num_rows == n
+    assert (out.column("id").to_numpy() == ids).all()
+    assert (out.column("nano_lat").to_numpy() == nano_lat).all()
+    assert (out.column("nano_lon").to_numpy() == nano_lon).all()
+
+
+def test_pbf_blocks_lineage_is_byte_offset(tmp_path):
+    path = _write_golden(tmp_path, "zlib", True)
+    blocks = pbf.read_pbf_blocks(path).to_pandas()
+    descs = {d["offset"] for d in pbf.scan_blobs(path)}
+    assert set(blocks["block_id"]) <= descs  # ByteOffset lineage (blob.rs:57)

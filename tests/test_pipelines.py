@@ -187,13 +187,9 @@ def test_write_flagship_resumable(tmp_path):
     assert res1["written"] == 4 and res1["skipped"] == 0
     full = mf.read_output(out_dir)
 
-    # crash simulation: drop one partition dir AND its manifest line
+    # crash simulation: drop one partition dir — its _COMMIT.json marker
+    # goes with it (data + manifest record live and die together)
     shutil.rmtree(out_dir / "part=frag-2")
-    lines = [
-        l for l in (out_dir / "_MANIFEST.jsonl").read_text().splitlines()
-        if '"frag-2"' not in l
-    ]
-    (out_dir / "_MANIFEST.jsonl").write_text("\n".join(lines) + "\n")
 
     res2 = flagship.write_flagship_resumable(str(in_dir), polygons, str(out_dir))
     assert res2["written"] == 1 and res2["skipped"] == 3
