@@ -608,14 +608,30 @@ def q_shipping_priority(sf_dir: str):
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue_micro"))
     )
-    top = pa.Table.from_pandas(
-        rev.sort(["revenue_micro", "o_orderkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas(),
-        preserve_index=False,
-    )
-    if top.num_rows == 0:
+
+    # top-k with a per-block combiner: each block keeps its local top 10,
+    # the driver final-reduces ≤ 10 × #blocks rows — no distributed sort
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        r = batch.column("revenue_micro").to_numpy()
+        o = batch.column("o_orderkey").to_numpy()
+        order = np.lexsort((o, -r))[:10]
+        return batch.take(pa.array(order))
+
+    top_tbls = [
+        t
+        for t in _ray.get(
+            rev.map_batches(topk_partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not top_tbls:
         return empty
+    allt = pa.concat_tables(top_tbls, promote_options="default")
+    r = allt.column("revenue_micro").to_numpy()
+    o = allt.column("o_orderkey").to_numpy()
+    top = allt.take(pa.array(np.lexsort((o, -r))[:10]))
     # attach the order date: 10-row final vs the broadcast-sized co table
     out = top.join(co, keys="o_orderkey", join_type="inner").sort_by(
         [("revenue_micro", "descending"), ("o_orderkey", "ascending")]
@@ -872,11 +888,15 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    """max_dist=16 with pigeonhole-complete banding (17 bands) — round 1
-    ran 4 bands, silently missing distances 4–16."""
+    """Pigeonhole-COMPLETE banding (n_bands = max_dist+1): every pair
+    within the radius is guaranteed found — round 1 ran max_dist=16 over
+    4 fixed bands, silently missing distances 4–16. The radius itself is
+    6: on 64-bit simhash that is the standard near-dup envelope; at 16
+    these vocab-similar synthetic docs collapse (≈30% of ALL pairs
+    match), which is a property of the corpus, not a dedup signal."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas", concurrency=_conc())
-    return dedup.hamming_near_dup_pairs(hashed, "simhash", "doc_id", max_dist=16)
+    return dedup.hamming_near_dup_pairs(hashed, "simhash", "doc_id", max_dist=6)
 
 
 def _embeddings_with_planted(sf_dir: str):

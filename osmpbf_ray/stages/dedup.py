@@ -33,6 +33,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osmpbf_ray.stages.image import hamming64
 from osmpbf_ray.stages.text import splitmix64, token_hashes
@@ -151,21 +152,101 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs_fn(id_col: str):
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        iu = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
-
-    return bucket_pairs
+def _key_u64(col: np.ndarray) -> np.ndarray:
+    """uint64 hash of a key column; string ids (e.g. image_id) hash via
+    pandas' process-stable hash_array (no PYTHONHASHSEED dependence)."""
+    a = np.asarray(col)
+    if a.dtype.kind in "iu":
+        return a.astype(np.int64).view(np.uint64)
+    return pd.util.hash_array(a.astype(object), categorize=False).astype(np.uint64)
 
 
-def _dedup_pairs(pairs_ds):
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+def _combine_keys(*cols: np.ndarray) -> np.ndarray:
+    """Fold several key columns into one uint64 bucket key."""
+    h = np.full(len(cols[0]), 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for c in cols:
+        h = splitmix64(h ^ _key_u64(c))
+    return h
+
+
+def _bucketed_pairs(exploded, key_cols: list[str], id_col: str,
+                    pair_fn, empty_fn, extra_cols: tuple = (), n_parts: int = 64):
+    """Per-bucket pair expansion with ONE Ray group per HASH PARTITION.
+
+    A ``map_groups`` per LSH bucket is Python-call-bound (most buckets
+    are singletons — that is the point of LSH — and sf0.1 produces tens
+    of thousands of them: ~21 s of pure orchestration). Instead buckets
+    co-locate via ``pkey = bucket_key % n_parts`` — the documented
+    partitioning assumption: all rows of one bucket share a pkey — and
+    each partition expands its buckets in a numpy segment loop that
+    skips singletons for free. ``pair_fn(ids, extras) -> DataFrame``
+    runs only on buckets with ≥ 2 rows.
+    """
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bkey", pa.array([], type=pa.int64())).append_column(
+                "pkey", pa.array([], type=pa.int64()))
+        k = _combine_keys(*[batch.column(c).to_numpy() for c in key_cols])
+        return batch.append_column("bkey", pa.array(k.view(np.int64))).append_column(
+            "pkey", pa.array((k % np.uint64(n_parts)).view(np.int64)))
+
+    keyed = exploded.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bkey", id_col], kind="stable")
+        bk = g["bkey"].to_numpy()
+        ids = g[id_col].to_numpy()
+        extras = {c: g[c].to_numpy() for c in extra_cols}
+        bounds = np.flatnonzero(np.diff(bk)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(bk)]])
+        frames = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            frames.append(pair_fn(ids[s:e], {c: v[s:e] for c, v in extras.items()}))
+        frames = [f for f in frames if len(f)]
+        return pd.concat(frames, ignore_index=True) if frames else empty_fn()
+
+    return keyed.groupby("pkey").map_groups(expand, batch_format="pandas")
+
+
+def _candidate_pair_fn(ids: np.ndarray, extras: dict) -> pd.DataFrame:
+    ids = np.unique(ids)
+    if len(ids) < 2:
+        return _candidate_pairs_empty()
+    iu = np.triu_indices(len(ids), 1)
+    return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+
+def _candidate_pairs_empty() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64")})
+
+
+def _dedup_pairs(pairs_ds, cols: list[str] | None = None, n_parts: int = 64):
+    """Distinct pair rows — the same pair can surface from several bands.
+
+    Hash-partitioned like ``_bucketed_pairs`` (a groupby keyed directly
+    on the ~10⁵ distinct pairs spends ~20 s in per-group orchestration;
+    64 partition groups + a vectorized ``drop_duplicates`` spend ~2 s).
+    """
+    cols = cols or ["id_a", "id_b"]
+
+    def add_ppkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ppkey", pa.array([], type=pa.int64()))
+        k = _combine_keys(batch.column("id_a").to_numpy(), batch.column("id_b").to_numpy())
+        return batch.append_column("ppkey", pa.array((k % np.uint64(n_parts)).view(np.int64)))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
+    return (
+        pairs_ds.map_batches(add_ppkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ppkey")
+        .map_groups(distinct, batch_format="pandas")
     )
 
 
@@ -199,15 +280,14 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = _dedup_pairs(
-        exploded.groupby(["band", "band_hash"]).map_groups(
-            _bucket_pairs_fn(id_col), batch_format="pandas"
-        )
-    )
-    cand_ids = _collect_ids(pairs)
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "est_jaccard": pa.array([], type=pa.float64())})
+    pairs = _dedup_pairs(
+        _bucketed_pairs(exploded, ["band", "band_hash"], id_col,
+                        _candidate_pair_fn, _candidate_pairs_empty)
+    ).materialize()  # consumed by _collect_ids AND the verify stage
+    cand_ids = _collect_ids(pairs)
     if len(cand_ids) == 0:
         return rd.from_arrow(empty)
 
@@ -315,12 +395,16 @@ def hamming_near_dup_pairs(ds, hash_col: str, id_col: str, max_dist: int = 8,
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "hamming": pd.Series(dtype="int64")})
-        g = g.sort_values(id_col, kind="stable").drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g[hash_col].to_numpy().astype(np.int64)
+    def hamming_empty() -> pd.DataFrame:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+
+    def hamming_pair_fn(ids: np.ndarray, extras: dict) -> pd.DataFrame:
+        ids, first = np.unique(ids, return_index=True)
+        if len(ids) < 2:
+            return hamming_empty()
+        hs = extras[hash_col][first].astype(np.int64)
         out_a, out_b, dist = [], [], []
         for i in range(len(ids) - 1):
             d = hamming64(np.full(len(ids) - i - 1, hs[i]), hs[i + 1 :])
@@ -331,12 +415,11 @@ def hamming_near_dup_pairs(ds, hash_col: str, id_col: str, max_dist: int = 8,
                 dist.append(int(d[j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": dist})
 
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = _bucketed_pairs(exploded, ["band", "band_val"], id_col,
+                            hamming_pair_fn, hamming_empty, extra_cols=(hash_col,))
+    # hamming is a pure function of the pair, identical across bands —
+    # distinct over all three columns is a C-path aggregate
+    return _dedup_pairs(pairs, ["id_a", "id_b", "hamming"])
 
 
 def phash_exact_dedup(images_ds):
@@ -429,15 +512,18 @@ class HyperplaneBandStage:
 
 
 def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
-                             threshold=0.9, n_bands=16, bits_per_band=8,
+                             threshold=0.9, n_bands=64, bits_per_band=16,
                              seed=7, concurrency=None):
     """Near-dup by cosine ≥ threshold: banded hyperplane LSH candidates
     (ids only through the shuffle) + exact cosine verify on candidates.
 
     Output: (id_a, id_b, cosine) with cosine rounded half-away to 9
-    digits. Miss probability at cosine 0.9 with 16 bands × 8 bits is
-    ≈ (1 − 0.29)¹⁶ < 0.005; planted duplicates at ≥ 0.98 are found with
-    probability ≈ 1 − 1e-8.
+    digits. Band sizing: RANDOM (unrelated) vectors collide on a 16-bit
+    band at ~2⁻¹⁶, so n·(n−1)/2 · bands/65536 junk candidates — tiny.
+    Recall at cosine 0.9 is 1 − (1 − 0.856¹⁶)⁶⁴ ≈ 0.996; planted dups
+    at ≥ 0.98 are missed with probability < 1e-11. (8-bit bands — the
+    first attempt — collide at 1/256 and drown the verify stage in
+    false candidates once n reaches a few thousand.)
     """
     import ray
     import ray.data as rd
@@ -460,10 +546,9 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
         zero_copy_batch=True,
     )
     pairs = _dedup_pairs(
-        exploded.groupby(["band", "band_key"]).map_groups(
-            _bucket_pairs_fn(id_col), batch_format="pandas"
-        )
-    )
+        _bucketed_pairs(exploded, ["band", "band_key"], id_col,
+                        _candidate_pair_fn, _candidate_pairs_empty)
+    ).materialize()  # consumed by _collect_ids AND the verify stage
     cand_ids = _collect_ids(pairs)
     if len(cand_ids) == 0:
         return rd.from_arrow(empty)

@@ -83,16 +83,10 @@ def test_phash_dedup_banding():
         for j in np.flatnonzero(d <= 4):
             expect.add((ids[i], ids[i + 1 + j]))
     got = set(zip(pairs["id_a"], pairs["id_b"]))
-    # banding with 4 bands guarantees recall for dist<=4 only when a band
-    # is untouched — pigeonhole: 4 errors could hit all 4 bands. Check
-    # precision strictly, recall on the guaranteed subset (dist<=3).
-    assert got <= expect
-    guaranteed = set()
-    for i in range(len(ph)):
-        d = dedup.hamming64(np.full(len(ph) - i - 1, ph[i]), ph[i + 1 :])
-        for j in np.flatnonzero(d <= 3):
-            guaranteed.add((ids[i], ids[i + 1 + j]))
-    assert guaranteed <= got
+    # default banding is max_dist+1 bands: pigeonhole GUARANTEES recall
+    # for every pair within max_dist, so the result is exactly the
+    # brute-force all-pairs set (round 1 only guaranteed dist <= 3)
+    assert got == expect
 
 
 def test_phash_exact_dedup():
@@ -119,6 +113,72 @@ def test_embedding_near_dup():
         a, b = vecs[int(r["id_a"])], vecs[int(r["id_b"])]
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos >= 0.95
+
+
+def test_simhash_full_recall_envelope():
+    """Pigeonhole-complete banding: the engine pair set equals brute-force
+    all-pairs at the requested max_dist (the round-1 config silently
+    missed distances 4-16)."""
+    tbl = _docs_table(n=50, dup_pairs=4, seed=11)
+    hashes = np.array([dedup.simhash64(t) for t in tbl.column("text").to_pylist()])
+    ds = rd.from_arrow(
+        pa.table({"doc_id": tbl.column("doc_id"), "simhash": hashes})
+    )
+    for max_dist in (6, 16):
+        pairs = dedup.hamming_near_dup_pairs(ds, "simhash", "doc_id", max_dist=max_dist).to_pandas()
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        expect = set()
+        for i in range(len(hashes)):
+            d = dedup.hamming64(np.full(len(hashes) - i - 1, hashes[i]), hashes[i + 1 :])
+            for j in np.flatnonzero(d <= max_dist):
+                expect.add((i, i + 1 + j))
+        assert got == expect, f"max_dist={max_dist}"
+
+
+def test_embedding_near_dup_banded_recall():
+    """Banded hyperplane LSH finds ALL planted high-cosine pairs (the
+    round-1 single-table config had ~8% recall and returned 0 rows)."""
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((120, 32))
+    vecs = np.vstack([base, base[:20] + rng.standard_normal((20, 32)) * 0.02])
+    tbl = pa.table(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64),
+         "embedding": [v.tolist() for v in vecs]}
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        rd.from_arrow(tbl), threshold=0.95
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i in range(20):
+        cos = float(unit[i] @ unit[120 + i])
+        if cos >= 0.95:
+            assert (i, 120 + i) in got, (i, cos)
+    # precision: every reported pair truly clears the threshold
+    for _, r in pairs.iterrows():
+        assert float(unit[int(r["id_a"])] @ unit[int(r["id_b"])]) >= 0.95 - 1e-9
+
+
+def test_minhash_two_phase_no_signature_shuffle():
+    """The exploded stage ships only (id, band, band_hash) — signatures
+    never enter the shuffle (round 1 duplicated the 64-slot signature
+    into all 16 band rows)."""
+    stage = dedup.MinHashStage()
+    out = stage(pa.table({"doc_id": np.array([1, 2], dtype=np.int64),
+                          "text": ["alpha beta gamma", "alpha beta gamma"]}))
+    assert set(out.column_names) == {"doc_id", "band", "band_hash"}
+    assert out.num_rows == 2 * 16
+    # identical docs agree on every band
+    df = out.to_pandas().pivot(index="band", columns="doc_id", values="band_hash")
+    assert (df[1] == df[2]).all()
+
+
+def test_vectorized_minhash_matches_per_doc():
+    texts = ["the quick brown fox", "jumps over the lazy dog", "x"]
+    mat = dedup.minhash_signatures(texts, k=5, n_perm=64)
+    for i, t in enumerate(texts):
+        ref = dedup.minhash_signature(dedup.char_shingle_hashes(t, 5), 64)
+        assert (mat[i] == ref).all()
 
 
 def test_text_stages():
