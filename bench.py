@@ -160,6 +160,7 @@ def run_headline() -> tuple[float, int]:
 
 
 BENCH_QUERIES = [
+    "pbf_read",
     "count_all",
     "pricing_summary",
     "semi_join_deps",

@@ -61,7 +61,11 @@ def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):
     """
     matched = ways_ds.map_batches(
         way_predicate_batch_fn, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # one pass over ways; reused for both outputs
+    )
+    # matched stays LAZY: the key-set pass below executes the filter once,
+    # and callers that never consume the ways dataset (the common
+    # deps-only case) pay nothing for it. Callers consuming both outputs
+    # repeatedly should .materialize() the returned ways themselves.
 
     def refs_partial(batch: pa.Table) -> pa.Table:
         flat = pc.list_flatten(batch.column("refs").combine_chunks())

@@ -1,0 +1,178 @@
+"""IndexedReader equivalent over a real ``.osm.pbf`` file.
+
+Mirrors /root/reference/src/indexed.rs on the actual container:
+
+* ``PbfIndex(path)`` — one fast header-only pass recording every blob's
+  byte offset and type (``create_index``, indexed.rs:145-172; the scan
+  itself is ``next_header_skip_blob``, blob.rs:402-428).
+* ``id_ranges()`` — lazily built per-blob (min_id, max_id, n_nodes)
+  zone map (``update_element_id_ranges``, indexed.rs:175-222). Unlike
+  the reference — which enriches the index as a side effect of each
+  sequential read — the engine builds it in ONE distributed stats pass
+  over the blobs and caches the result on the index object: at 16k
+  blobs per 100 GB the stats table is a few hundred KB of driver state.
+* ``read_nodes_pruned(keys)`` — the two-pass semi-join's pass 2
+  (indexed.rs:304-327): skip every blob whose id range contains none of
+  the keys (``range_included``, indexed.rs:26-28), then decode only the
+  surviving blobs and filter exactly.
+* ``blob_from_offset(offset)`` — random access to one blob
+  (blob.rs:346-400): fetch + decompress + parse + decode, no scan.
+* ``ways_and_deps(pred)`` — the full indexed semi-join
+  (indexed.rs:264-330) on the container: filter ways, collect their
+  ref-id set, pruned node scan.
+
+Pruning math: a blob is read iff ``searchsorted`` finds any key inside
+its [min, max] — the vectorized twin of the reference's
+``BTreeSet::range(min..=max).next().is_some()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osmpbf_ray import schema
+from osmpbf_ray.sources import pbf
+from osmpbf_ray.stages import decode
+
+
+class PbfIndex:
+    def __init__(self, path: str):
+        self.path = path
+        self.descriptors = pbf.scan_blobs(path)  # header-only, driver-side
+        self._ranges: pa.Table | None = None
+
+    @property
+    def data_blobs(self) -> list[dict]:
+        return [d for d in self.descriptors if d["type"] == "OSMData"]
+
+    def blob_from_offset(self, offset: int) -> pa.Table:
+        """Decode the node rows of exactly one blob by byte offset."""
+        d = next((x for x in self.data_blobs if x["offset"] == offset), None)
+        if d is None:
+            raise KeyError(f"no OSMData blob at offset {offset}")
+        block = pbf.parse_primitive_block(
+            pbf._read_payload(self.path, d["offset"], d["datasize"])
+        )
+        rows = pbf.node_block_rows(d["offset"], block)
+        if not rows:
+            return schema.NODES_SCHEMA.empty_table()
+        return decode.decode_blocks(pa.Table.from_pylist(rows, schema=schema.BLOCKS_SCHEMA))
+
+    def id_ranges(self) -> pa.Table:
+        """(offset, min_id, max_id, n_nodes) per blob — built once via a
+        distributed stats pass, cached."""
+        if self._ranges is not None:
+            return self._ranges
+        import ray
+
+        def stats(batch: pa.Table) -> pa.Table:
+            out = {"offset": [], "min_id": [], "max_id": [], "n_nodes": []}
+            for p, off, sz in zip(
+                batch.column("path").to_pylist(),
+                batch.column("offset").to_pylist(),
+                batch.column("datasize").to_pylist(),
+            ):
+                block = pbf.parse_primitive_block(pbf._read_payload(p, off, sz))
+                ids = []
+                for g in block["groups"]:
+                    if g["dense"] is not None and len(g["dense"]["id_delta"]):
+                        ids.append(np.cumsum(np.asarray(g["dense"]["id_delta"], dtype=np.int64)))
+                    if g["nodes"]:
+                        ids.append(np.array([nd["id"] for nd in g["nodes"]], dtype=np.int64))
+                allids = np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
+                out["offset"].append(off)
+                out["min_id"].append(int(allids.min()) if len(allids) else None)
+                out["max_id"].append(int(allids.max()) if len(allids) else None)
+                out["n_nodes"].append(len(allids))
+            return pa.table(
+                {
+                    "offset": pa.array(out["offset"], type=pa.int64()),
+                    "min_id": pa.array(out["min_id"], type=pa.int64()),
+                    "max_id": pa.array(out["max_id"], type=pa.int64()),
+                    "n_nodes": pa.array(out["n_nodes"], type=pa.int64()),
+                }
+            )
+
+        import ray.data as rd
+
+        ds = rd.from_items(self.data_blobs).map_batches(
+            stats, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        self._ranges = (
+            pa.concat_tables(tbls) if tbls
+            else pa.table({"offset": pa.array([], pa.int64()),
+                           "min_id": pa.array([], pa.int64()),
+                           "max_id": pa.array([], pa.int64()),
+                           "n_nodes": pa.array([], pa.int64())})
+        )
+        return self._ranges
+
+    def prune_offsets(self, keys: np.ndarray) -> list[int]:
+        """Offsets of blobs whose id range contains ≥1 key
+        (range_included, indexed.rs:26-28) — vectorized searchsorted."""
+        r = self.id_ranges()
+        keys = np.sort(np.asarray(keys, dtype=np.int64))
+        mn = r.column("min_id").to_numpy(zero_copy_only=False)
+        mx = r.column("max_id").to_numpy(zero_copy_only=False)
+        offs = r.column("offset").to_numpy()
+        out = []
+        for off, lo, hi in zip(offs, mn, mx):
+            if lo is None or (isinstance(lo, float) and np.isnan(lo)):
+                continue  # node-free blob (ways/relations only)
+            i = np.searchsorted(keys, lo, side="left")
+            if i < len(keys) and keys[i] <= hi:
+                out.append(int(off))
+        return out
+
+    def read_nodes_pruned(self, keys: np.ndarray):
+        """Pruned node scan: only blobs whose range intersects ``keys``
+        are fetched/decoded, then an exact ``is_in`` filter applies
+        (pass 2 of indexed.rs:304-327). Returns a Dataset."""
+        import ray
+        import ray.data as rd
+
+        surviving = set(self.prune_offsets(keys))
+        items = [d for d in self.data_blobs if d["offset"] in surviving]
+        keys_ref = ray.put(np.unique(np.asarray(keys, dtype=np.int64)))
+        if not items:
+            return rd.from_arrow(schema.NODES_SCHEMA.empty_table())
+
+        blocks = rd.from_items(items).map_batches(
+            lambda b: pbf._fetch_parse(b, pbf.node_block_rows, schema.BLOCKS_SCHEMA),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def decode_and_filter(batch: pa.Table) -> pa.Table:
+            nodes = decode.decode_blocks(batch)
+            wanted = pa.array(ray.get(keys_ref))
+            return nodes.filter(pc.is_in(nodes["id"], value_set=wanted))
+
+        return blocks.map_batches(decode_and_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ways_and_deps(self, way_predicate_batch_fn):
+        """Indexed two-pass semi-join on the real container
+        (indexed.rs:264-330): pass 1 filters ways and collects referenced
+        node ids; pass 2 is the pruned node scan above.
+        Returns (matching_ways: Dataset, dep_nodes: Dataset)."""
+        import ray
+
+        matched = pbf.read_pbf_ways(self.path).map_batches(
+            way_predicate_batch_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def refs_partial(batch: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(batch.column("refs").combine_chunks())
+            return pa.table({"id": np.unique(flat.to_numpy(zero_copy_only=False))})
+
+        key_tbls = ray.get(
+            matched.select_columns(["refs"])
+            .map_batches(refs_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        parts = [t.column("id").to_numpy() for t in key_tbls if t.num_rows]
+        key_set = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+        return matched, self.read_nodes_pruned(key_set)

@@ -75,28 +75,50 @@ def decode_blocks(batch: pa.Table) -> pa.Table:
     """
     out_tables = []
     kinds = batch.column("kind").to_pylist()
+    # flatten every list column ONCE per batch (zero-copy into numpy);
+    # per-block work below is numpy slices + cumsum — the round-1 version
+    # materialized each 8k-element list through .as_py() per block
+    flat = {
+        name: _list_column(batch, name)
+        for name in ("id_delta", "lat_delta", "lon_delta", "keys_vals", "version",
+                     "timestamp_delta", "changeset_delta", "uid_delta",
+                     "user_sid_delta", "visible")
+    }
+
+    def _seg(name: str, i: int, dtype=np.int64) -> np.ndarray:
+        vals, offs = flat[name]
+        return vals[offs[i] : offs[i + 1]].astype(dtype, copy=False)
+
+    import pyarrow.compute as _pc
+
+    sc = {}
+    for name, default in (("granularity", 100), ("lat_offset", 0),
+                          ("lon_offset", 0), ("date_granularity", 1000)):
+        sc[name] = _pc.fill_null(batch.column(name), default).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    sts = batch.column("stringtable").to_pylist()
     for i in range(batch.num_rows):
         kind = kinds[i]
         if kind not in ("dense", "nodes"):
             continue  # header/unknown passthrough-skip (blob.rs:95)
         is_dense = kind == "dense"
-        row = {name: batch.column(name)[i] for name in batch.column_names}
-        id_delta = np.asarray(row["id_delta"].as_py(), dtype=np.int64)
+        id_delta = _seg("id_delta", i)
         n = len(id_delta)
         if n == 0:
             continue
-        gran = np.int64(row["granularity"].as_py() or 100)
-        lat_off = np.int64(row["lat_offset"].as_py() or 0)
-        lon_off = np.int64(row["lon_offset"].as_py() or 0)
-        dgran = np.int64(row["date_granularity"].as_py() or 1000)
+        gran = sc["granularity"][i]
+        lat_off = sc["lat_offset"][i]
+        lon_off = sc["lon_offset"][i]
+        dgran = sc["date_granularity"][i]
 
         _acc = np.cumsum if is_dense else np.asarray
         ids = _acc(id_delta)
-        nano_lat = lat_off + gran * _acc(np.asarray(row["lat_delta"].as_py(), dtype=np.int64))
-        nano_lon = lon_off + gran * _acc(np.asarray(row["lon_delta"].as_py(), dtype=np.int64))
+        nano_lat = lat_off + gran * _acc(_seg("lat_delta", i))
+        nano_lon = lon_off + gran * _acc(_seg("lon_delta", i))
 
-        st = [bytes(b) for b in row["stringtable"].as_py() or []]
-        kv = np.asarray(row["keys_vals"].as_py() or [], dtype=np.int64)
+        st = [bytes(b) for b in sts[i] or []]
+        kv = _seg("keys_vals", i)
         tag_counts, flat_tags = _decode_tags(kv, st, n)
 
         tag_offsets = np.concatenate([[0], np.cumsum(tag_counts)]).astype(np.int32)
@@ -112,23 +134,23 @@ def decode_blocks(batch: pa.Table) -> pa.Table:
         )
 
         # DenseInfo (src/dense.rs:244-316): delta-coded, visible defaults true
-        version = np.asarray(row["version"].as_py() or [], dtype=np.int32)
-        ts_delta = np.asarray(row["timestamp_delta"].as_py() or [], dtype=np.int64)
-        cs_delta = np.asarray(row["changeset_delta"].as_py() or [], dtype=np.int64)
-        uid_delta = np.asarray(row["uid_delta"].as_py() or [], dtype=np.int64)
-        us_delta = np.asarray(row["user_sid_delta"].as_py() or [], dtype=np.int64)
-        visible = row["visible"].as_py() or []
+        version = _seg("version", i, np.int32)
+        visible = _seg("visible", i, bool)
         has_info = len(version) == n
         if has_info:
-            ts_ms = _acc(ts_delta) * dgran
-            changeset = _acc(cs_delta)
-            uid = _acc(uid_delta).astype(np.int32)
-            user_sid = _acc(us_delta).astype(np.int64)
-            users = [
+            ts_ms = _acc(_seg("timestamp_delta", i)) * dgran
+            changeset = _acc(_seg("changeset_delta", i))
+            uid = _acc(_seg("uid_delta", i)).astype(np.int32)
+            user_sid = _acc(_seg("user_sid_delta", i)).astype(np.int64)
+            # resolve only DISTINCT sids through the string table (users
+            # repeat heavily in real files)
+            uniq, inv = np.unique(user_sid, return_inverse=True)
+            names = [
                 st[s].decode("utf-8", "replace") if 0 <= s < len(st) else ""
-                for s in user_sid
+                for s in uniq
             ]
-            vis = visible if len(visible) == n else [True] * n
+            users = [names[j] for j in inv]
+            vis = visible if len(visible) == n else np.ones(n, dtype=bool)
             info_arr = pa.StructArray.from_arrays(
                 [
                     pa.array(version, type=pa.int32()),

@@ -73,32 +73,48 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _unfilter_slow(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """General per-row unfilter, vectorized within each row.
+
+    Sub is a per-channel modular prefix sum (one uint8 cumsum — the
+    wraparound IS the byte arithmetic PNG specifies); Up is one add;
+    Average/Paeth have a true left-to-right dependency, so they scan
+    per PIXEL with bpp-wide vector ops (w iterations, not w·bpp —
+    round 1 looped every byte in Python)."""
     out = np.zeros((h, stride), dtype=np.uint8)
+    w = stride // bpp
+    zero_prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
         ftype = int(raw[r, 0])
-        line = raw[r, 1:].astype(np.int32)
-        prev = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, dtype=np.int32)
+        line = raw[r, 1:]
+        prev = out[r - 1] if r > 0 else zero_prev
         if ftype == 0:
-            out[r] = line.astype(np.uint8)
-        elif ftype == 2:  # Up
-            out[r] = ((line + prev) & 0xFF).astype(np.uint8)
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                if ftype == 1:
-                    v = line[i] + a
-                elif ftype == 3:
-                    v = line[i] + (a + b) // 2
-                else:
-                    c = prev[i - bpp] if i >= bpp else 0
+            out[r] = line
+        elif ftype == 1:  # Sub
+            out[r] = np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.uint8).reshape(-1)
+        elif ftype == 2:  # Up — uint8 add wraps mod 256
+            out[r] = line + prev
+        elif ftype in (3, 4):  # Average / Paeth
+            lp = line.reshape(w, bpp).astype(np.int16)
+            pv = prev.reshape(w, bpp).astype(np.int16)
+            cur = np.zeros((w, bpp), dtype=np.int16)
+            a = np.zeros(bpp, dtype=np.int16)
+            if ftype == 3:
+                for x in range(w):
+                    a = (lp[x] + ((a + pv[x]) >> 1)) & 0xFF
+                    cur[x] = a
+            else:
+                c = np.zeros(bpp, dtype=np.int16)
+                for x in range(w):
+                    b = pv[x]
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = line[i] + pred
-                cur[i] = v & 0xFF
-            out[r] = cur.astype(np.uint8)
+                    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c)
+                    )
+                    a = (lp[x] + pred) & 0xFF
+                    cur[x] = a
+                    c = b
+            out[r] = cur.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"bad PNG filter {ftype}")
     return out

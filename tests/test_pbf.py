@@ -197,6 +197,78 @@ def test_larger_world_parallel_decode(tmp_path):
     assert (out.column("nano_lon").to_numpy() == nano_lon).all()
 
 
+def _sorted_world(tmp_path, n=20_000, per_block=2048):
+    """Sort.Type_then_ID-style world: ids increase across blocks, so the
+    id-range zone map prunes effectively (reference README.md:105-109)."""
+    ids = np.arange(1, n + 1, dtype=np.int64) * 5
+    nano = (ids % 1_000_000) * 100
+    nodes = pa.table(
+        {
+            "id": ids,
+            "lat": nano * 1e-9,
+            "lon": nano * 1e-9,
+            "nano_lat": nano,
+            "nano_lon": nano,
+            "tags": pa.array([[]] * n, type=schema.NODES_SCHEMA.field("tags").type),
+            "info": pa.nulls(n, type=schema.INFO_STRUCT),
+        },
+        schema=schema.NODES_SCHEMA,
+    )
+    path = str(tmp_path / "sorted.osm.pbf")
+    pbf.write_pbf(path, nodes=nodes, nodes_per_block=per_block)
+    return path, ids
+
+
+def test_pbf_index_pruned_scan(tmp_path):
+    """Pruned read == full-scan filter, while actually skipping blobs
+    (IndexedReader semantics, indexed.rs:264-330)."""
+    from osmpbf_ray.sources.pbf_index import PbfIndex
+
+    path, ids = _sorted_world(tmp_path)
+    idx = PbfIndex(path)
+    ranges = idx.id_ranges()
+    assert ranges.num_rows == len(idx.data_blobs)
+    keys = np.array([5, 10240 * 5, 19999 * 5, 123])  # 123 matches nothing
+    surviving = idx.prune_offsets(keys)
+    assert 0 < len(surviving) < len(idx.data_blobs)  # real pruning
+    got = sorted(idx.read_nodes_pruned(keys).to_pandas()["id"])
+    assert got == sorted(set(keys.tolist()) & set(ids.tolist()))
+
+
+def test_pbf_index_blob_from_offset(tmp_path):
+    from osmpbf_ray.sources.pbf_index import PbfIndex
+
+    path, ids = _sorted_world(tmp_path, n=5000, per_block=1024)
+    idx = PbfIndex(path)
+    d = idx.data_blobs[2]  # third node blob → ids 2048*5+5 ...
+    tbl = idx.blob_from_offset(d["offset"])
+    assert tbl.num_rows == 1024
+    assert tbl.column("id").to_pylist()[0] == ids[2048]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        idx.blob_from_offset(12345678)
+
+
+def test_pbf_index_ways_and_deps_golden(tmp_path):
+    """The reference's exact golden: building=yes → 1 way + 3 nodes
+    (tests/read.rs:295-319), over a real container via the index."""
+    from osmpbf_ray.sources.pbf_index import PbfIndex
+    from osmpbf_ray.stages.tags import filter_by_tag
+
+    path = str(tmp_path / "golden.osm.pbf")
+    pbf.write_pbf(
+        path,
+        nodes=fixtures.golden_nodes(),
+        ways=fixtures.golden_ways(),
+        relations=fixtures.golden_relations(),
+    )
+    idx = PbfIndex(path)
+    ways_ds, deps = idx.ways_and_deps(lambda b: filter_by_tag(b, "building", "yes"))
+    assert ways_ds.to_pandas()["id"].tolist() == [107]
+    assert sorted(deps.to_pandas()["id"]) == [105, 106, 108]
+
+
 def test_pbf_blocks_lineage_is_byte_offset(tmp_path):
     path = _write_golden(tmp_path, "zlib", True)
     blocks = pbf.read_pbf_blocks(path).to_pandas()
