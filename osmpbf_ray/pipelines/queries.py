@@ -1013,6 +1013,19 @@ def q_knn_join_geo_kring(sf_dir: str):
     return out.select_columns(["c_custkey", "nn_ids", "nn_dist_m"])
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog COUNT(DISTINCT l_partkey): fixed 4 KiB sketch per
+    batch, no shuffle — the scale path next to ``distinct_count``'s
+    exact (one-row-per-key shuffle) baseline. Rows-only: the estimate is
+    approximate by design; pytest bounds its error against the exact
+    count (±5% at p=12)."""
+    from osmpbf_ray.stages import sketch
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    est = sketch.approx_distinct(ds, "l_partkey", p=12)
+    return pa.table({"approx_n_distinct": pa.array([est], type=pa.float64())})
+
+
 def q_flagship(sf_dir: str):
     images = rd.from_arrow(_synth_images(sf_dir))
     res = flagship_mod.run_flagship(
@@ -1070,6 +1083,7 @@ def queries() -> dict:
         "ivf_knn": q_ivf_knn,
         "image_decode": q_image_decode,
         "knn_join_geo_kring": q_knn_join_geo_kring,
+        "approx_distinct": q_approx_distinct,
         "flagship": q_flagship,
     }
 
