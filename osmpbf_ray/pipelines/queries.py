@@ -665,12 +665,14 @@ def _node_fixture_pbf(sf_dir: str) -> str:
 
     nano = 100 × stored (granularity 100), derived from c_custkey with
     the shared integer-exact coordinate convention; one ("parity", ...)
-    tag per node exercises the string table end-to-end.
+    tag per node exercises the string table end-to-end. Blocks of 512
+    nodes with sorted ids so the PbfIndex zone map has something to
+    prune (Sort.Type_then_ID convention, reference README.md:105-109).
     """
     import os
 
     _ensure_dir()
-    path = f"{_CACHE_DIR}/nodes_{_sf_token(sf_dir)}.osm.pbf"
+    path = f"{_CACHE_DIR}/nodes_v2_{_sf_token(sf_dir)}.osm.pbf"
     if os.path.exists(path):
         return path
     ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(
@@ -699,7 +701,7 @@ def _node_fixture_pbf(sf_dir: str) -> str:
         schema=_schema.NODES_SCHEMA,
     )
     tmp = path + ".tmp"
-    pbf.write_pbf(tmp, nodes=nodes, compress="zlib", dense=True)
+    pbf.write_pbf(tmp, nodes=nodes, compress="zlib", dense=True, nodes_per_block=512)
     os.replace(tmp, path)
     return path
 
@@ -785,6 +787,31 @@ def q_pbf_way_refs(sf_dir: str):
         )
 
     return ways.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pbf_pruned_read(sf_dir: str):
+    """Zone-map-pruned scan on the real container (IndexedReader's
+    pass 2, indexed.rs:304-327): blobs whose id range misses the key set
+    are never fetched or decoded. Keys: every 37th customer."""
+    from osmpbf_ray.sources.pbf_index import PbfIndex
+
+    path = _node_fixture_pbf(sf_dir)
+    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(
+        "c_custkey"
+    ).to_numpy()
+    keys = ck[ck % 37 == 0]
+    nodes = PbfIndex(path).read_nodes_pruned(keys)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "nano_lat": batch.column("nano_lat"),
+                "nano_lon": batch.column("nano_lon"),
+            }
+        )
+
+    return nodes.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- 23. relation member resolution (elements.rs:448-460) -------------------
@@ -1013,6 +1040,49 @@ def q_knn_join_geo_kring(sf_dir: str):
     return out.select_columns(["c_custkey", "nn_ids", "nn_dist_m"])
 
 
+def q_cosine_pairs_exact(sf_dir: str):
+    """Exact cosine near-dup pairs on a bounded subset (vec_id < 300):
+    the 300-vector side broadcasts once, the table streams through one
+    matmul per batch — the brute-force baseline the banded LSH path
+    (``embedding_near_dup``) approximates, and the one that IS
+    SQL-expressible for the oracle."""
+    import ray as _ray
+
+    sub = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sub = sub.filter(pc.less(sub["vec_id"], 300))
+    ids = sub.column("vec_id").to_numpy()
+    vecs = ann.vecs_to_numpy(sub.column("embedding"))
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    ref = _ray.put((ids, vecs / norms[:, None]))
+    threshold = 0.3
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bids = batch.column("vec_id").to_numpy()
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if len(bids) == 0:
+            return empty
+        rids, runit = _ray.get(ref)
+        bvec = ann.vecs_to_numpy(batch.column("embedding"))
+        bn = np.linalg.norm(bvec, axis=1)
+        bn[bn == 0] = 1.0
+        sim = ann.round_half_away((bvec / bn[:, None]) @ runit.T, 9)
+        # emit each unordered pair once: batch row id < broadcast id
+        row, col = np.nonzero((sim >= threshold) & (bids[:, None] < rids[None, :]))
+        if len(row) == 0:
+            return empty
+        return pa.table({"id_a": bids[row], "id_b": rids[col], "cosine": sim[row, col]})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], 300)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog COUNT(DISTINCT l_partkey): fixed 4 KiB sketch per
     batch, no shuffle — the scale path next to ``distinct_count``'s
@@ -1070,9 +1140,11 @@ def queries() -> dict:
         "shipping_priority": q_shipping_priority,
         "pbf_read": q_pbf_read,
         "pbf_way_refs": q_pbf_way_refs,
+        "pbf_pruned_read": q_pbf_pruned_read,
         "relation_resolve": q_relation_resolve,
         "phash_dedup": q_phash_dedup,
         "knn_join_geo": q_knn_join_geo,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
         # rows-only (non-SQL-expressible)
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1234,6 +1306,21 @@ def oracle_sql() -> dict:
         "phash_dedup": (
             "SELECT min(image_id) AS image_id, phash FROM "
             f"read_parquet('{_synth_images_path()}') GROUP BY phash"
+        ),
+        "pbf_pruned_read": (
+            "SELECT c_custkey AS id, "
+            "(((c_custkey*9301+49297) % 120000)*10000 - 600000000)*100 AS nano_lat, "
+            "(((c_custkey*7901+1237) % 360000)*10000 - 1800000000)*100 AS nano_lon "
+            "FROM customer WHERE c_custkey % 37 = 0"
+        ),
+        "cosine_pairs_exact": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 9) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id < 300 AND b.vec_id < 300 AND "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 9) >= 0.3"
         ),
         "knn_join_geo": (
             f"{_PTS_CTE}, refs AS (SELECT s_suppkey, "

@@ -532,6 +532,48 @@ def read_pbf_relation_blocks(path: str, override_num_blocks: int | None = None):
     )
 
 
+def read_pbf_raw(path: str, decompress: bool = True,
+                 override_num_blocks: int | None = None):
+    """Raw escape hatch: undecoded blob payloads as a Dataset.
+
+    The engine twin of the reference's public blob-level surface
+    (``BlobReader`` yielding raw ``Blob``s + ``raw_tags`` /
+    ``raw_stringtable``, src/elements.rs:543-564): rows are
+    ``(offset, type, datasize, data)`` where ``data`` is the blob payload
+    (decompressed by default; ``decompress=False`` ships the wire bytes
+    untouched). Block-level raw access — string-table indices, undecoded
+    delta arrays — is the BLOCKS_SCHEMA itself (``read_pbf_blocks``),
+    which keeps those columns exactly as stored.
+    """
+    import ray.data as rd
+
+    items = scan_blobs(path)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        data = []
+        for p, off, sz in zip(batch.column("path").to_pylist(),
+                              batch.column("offset").to_pylist(),
+                              batch.column("datasize").to_pylist()):
+            if decompress:
+                data.append(_read_payload(p, off, sz))
+            else:
+                with open(p, "rb") as f:
+                    f.seek(off)
+                    data.append(f.read(sz))
+        return pa.table(
+            {
+                "offset": batch.column("offset"),
+                "type": batch.column("type"),
+                "datasize": batch.column("datasize"),
+                "data": pa.array(data, type=pa.binary()),
+            }
+        )
+
+    return rd.from_items(items, override_num_blocks=override_num_blocks).map_batches(
+        fetch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def read_pbf_nodes(path: str, **kwargs):
     """path → canonical NODES_SCHEMA Dataset (ElementReader equivalent)."""
     from osmpbf_ray.stages import decode

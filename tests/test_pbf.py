@@ -269,6 +269,24 @@ def test_pbf_index_ways_and_deps_golden(tmp_path):
     assert sorted(deps.to_pandas()["id"]) == [105, 106, 108]
 
 
+def test_read_pbf_raw_escape_hatch(tmp_path):
+    """Blob-level raw surface (raw_tags/raw_stringtable analog,
+    elements.rs:543-564): payloads come back undecoded but parseable."""
+    path = _write_golden(tmp_path, "zlib", True)
+    raw = pbf.read_pbf_raw(path).to_pandas().sort_values("offset")
+    assert raw["type"].tolist()[0] == "OSMHeader"
+    # decompressed payloads parse as PrimitiveBlocks with raw string tables
+    block = pbf.parse_primitive_block(raw[raw["type"] == "OSMData"]["data"].iloc[0])
+    assert b"" in block["stringtable"]  # index 0 reserved blank
+    # wire-level variant: bytes identical to the on-disk blob payload
+    wire = pbf.read_pbf_raw(path, decompress=False).to_pandas().sort_values("offset")
+    d = pbf.scan_blobs(path)[0]
+    with open(path, "rb") as f:
+        f.seek(d["offset"])
+        expect = f.read(d["datasize"])
+    assert bytes(wire["data"].iloc[0]) == expect
+
+
 def test_pbf_blocks_lineage_is_byte_offset(tmp_path):
     path = _write_golden(tmp_path, "zlib", True)
     blocks = pbf.read_pbf_blocks(path).to_pandas()
