@@ -203,6 +203,43 @@ def decode_lossy(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(out.transpose(1, 2, 0))
 
 
+def parse_lossy_header(data: bytes) -> tuple[int, int, float]:
+    if data[:4] != _LDC_MAGIC:
+        raise ValueError("not an LDC1 payload")
+    h, w, quality = struct.unpack(">HHf", data[4:12])
+    if h * w * 3 > MAX_DECODED_BYTES:
+        raise ValueError("decoded image exceeds bound")
+    return h, w, quality
+
+
+def decode_lossy_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Batched LDC1 decode: zlib per payload (inherent), but ONE pair of
+    stacked 8x8 matmuls per (h, w, quality) group instead of per image —
+    small images make per-call numpy overhead the dominant cost of the
+    per-image path (~225 µs vs ~90 µs of actual zlib+math)."""
+    groups: dict[tuple, list[int]] = {}
+    coefs: list[np.ndarray] = []
+    for i, data in enumerate(datas):
+        h, w, quality = parse_lossy_header(data)
+        hb, wb = (h + 7) // 8, (w + 7) // 8
+        coefs.append(
+            np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16).reshape(3, hb, wb, 8, 8)
+        )
+        groups.setdefault((h, w, quality), []).append(i)
+    out: list[np.ndarray | None] = [None] * len(datas)
+    for (h, w, quality), idxs in groups.items():
+        hb, wb = (h + 7) // 8, (w + 7) // 8
+        stack = np.stack([coefs[i] for i in idxs])  # (n, 3, hb, wb, 8, 8)
+        q = _QBASE * quality
+        rec = np.matmul(np.matmul(_D8.T, stack.astype(np.float64) * q), _D8)
+        full = rec.transpose(0, 1, 2, 4, 3, 5).reshape(len(idxs), 3, hb * 8, wb * 8) + 128.0
+        px = np.clip(np.round(full[:, :, :h, :w]), 0, 255).astype(np.uint8)
+        px = np.ascontiguousarray(px.transpose(0, 2, 3, 1))  # (n, h, w, 3)
+        for j, i in enumerate(idxs):
+            out[i] = px[j]
+    return out  # type: ignore[return-value]
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
@@ -324,26 +361,54 @@ class ImageDecoder:
 
         blobs = batch.column("bytes").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        means = np.empty(len(blobs))
+        means = np.full(len(blobs), np.nan)
         phashes = np.zeros(len(blobs), dtype=np.int64)
         decode_errors = np.zeros(len(blobs), dtype=bool)
-        decoded: list[np.ndarray] = []
-        ok_idx: list[int] = []
-        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+        decoded: list[np.ndarray | None] = [None] * len(blobs)
+        # lossy payloads decode in shape-grouped batches (one stacked DCT
+        # per group); PNGs decode per image (per-image zlib + unfilter)
+        lossy_idx = [i for i, f in enumerate(fmts) if f == "jpeg"]
+        for i in lossy_idx:
             try:
-                px = decode_image(blob, fmt)
-                means[i] = float(px.mean())
-                decoded.append(px)
-                ok_idx.append(i)
+                parse_lossy_header(blobs[i])
+            except (ValueError, zlib.error, struct.error):
+                decode_errors[i] = True
+        valid_lossy = [i for i in lossy_idx if not decode_errors[i]]
+        try:
+            for i, px in zip(valid_lossy, decode_lossy_batch([blobs[i] for i in valid_lossy])):
+                decoded[i] = px
+        except (ValueError, zlib.error):
+            # a malformed payload slipped past the header check — fall
+            # back to per-image so only the bad rows become error rows
+            for i in valid_lossy:
+                try:
+                    decoded[i] = decode_lossy(blobs[i])
+                except (ValueError, zlib.error):
+                    decode_errors[i] = True
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            if fmt == "jpeg":
+                continue
+            try:
+                decoded[i] = decode_image(blob, fmt)
             except (ValueError, zlib.error):
                 # error-channel row, not a task failure (reference skips
                 # unknown blob types rather than erroring, blob.rs:27-29)
-                means[i] = float("nan")
                 decode_errors[i] = True
-        if self.compute_phash and decoded:
+        ok_idx = [i for i, px in enumerate(decoded) if px is not None]
+        ok_px = [decoded[i] for i in ok_idx]
+        if ok_idx:
+            # means batched per shape group (one reduction per group)
+            by_shape: dict[tuple, list[int]] = {}
+            for j, px in enumerate(ok_px):
+                by_shape.setdefault(px.shape, []).append(j)
+            m = np.empty(len(ok_px))
+            for idxs in by_shape.values():
+                m[idxs] = np.stack([ok_px[j] for j in idxs]).mean(axis=(1, 2, 3))
+            means[ok_idx] = m
+        if self.compute_phash and ok_idx:
             # batched by shape: one tensor DCT per size group instead of
             # a Python-loop hash per image
-            phashes[ok_idx] = phash64_batch(decoded)
+            phashes[ok_idx] = phash64_batch(ok_px)
         out = batch.drop_columns(["bytes"])
         out = out.append_column("pixel_mean", pa.array(means, type=pa.float64()))
         out = out.append_column("phash_decoded", pa.array(phashes, type=pa.int64()))
