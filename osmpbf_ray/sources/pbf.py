@@ -23,8 +23,9 @@ REL_BLOCKS_SCHEMA) so the tested vectorized decode kernels
 Scale notes: the descriptor list is tiny (one row per ~8k-element blob,
 so ~16k rows per 100 GB input) and streams through ``from_items``;
 payload bytes are read per task directly from shared storage — no
-driver-side data IO after the header scan. For multi-file planets, call
-``read_pbf_*`` per file and ``union`` the datasets.
+driver-side data IO after the header scan. Multi-file planets: pass a
+LIST of paths to any ``read_pbf_*`` — blobs across files form one
+descriptor stream.
 """
 
 from __future__ import annotations
@@ -477,12 +478,18 @@ def relation_block_rows(block_id: int, pb: dict) -> list[dict]:
 # --- Ray Data readers ---------------------------------------------------------
 
 
-def _data_descriptors(path: str) -> list[dict]:
-    return [d for d in scan_blobs(path) if d["type"] == "OSMData"]
+def _data_descriptors(path) -> list[dict]:
+    """``path`` may be one file or a list (multi-file planets: one
+    descriptor stream, blobs stay the unit of parallelism)."""
+    paths = [path] if isinstance(path, (str, bytes)) else list(path)
+    out = []
+    for p in paths:
+        out.extend(d for d in scan_blobs(p) if d["type"] == "OSMData")
+    return out
     # unknown blob types skipped here = src/blob.rs:27-29 semantics
 
 
-def _descriptor_ds(path: str, override_num_blocks: int | None = None):
+def _descriptor_ds(path, override_num_blocks: int | None = None):
     import ray.data as rd
 
     items = _data_descriptors(path)
@@ -821,3 +828,94 @@ def write_pbf(
                     rows[i : i + nodes_per_block],
                 )
     return blobs
+
+
+def write_pbf_partitioned(nodes_ds, out_dir: str, *, compress: str = "zlib",
+                          dense: bool = True) -> dict:
+    """Resumable distributed PBF sink: one ``.osm.pbf`` per input block,
+    committed atomically with per-partition lineage + metrics.
+
+    Partition ids are ``<min_id>-<max_id>`` of the block's node ids — a
+    deterministic function of the DATA, never of scheduling order — so a
+    rerun over the same (deterministically partitioned) dataset skips
+    completed partitions (the engine's write-layer contract, SURVEY §4;
+    same commit-marker protocol as state/manifest.py: data + _COMMIT.json
+    become visible in one directory rename). Never one giant file.
+    """
+    import json
+    import uuid
+
+    from pathlib import Path
+
+    from osmpbf_ray.state.manifest import Manifest, table_checksum
+
+    Manifest(out_dir)  # creates the directory
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        result = {"partition_id": [], "rows": [], "skipped": []}
+        if batch.num_rows:
+            ids = batch.column("id").to_numpy()
+            pid = f"{int(ids.min())}-{int(ids.max())}"
+            out = Path(out_dir)
+            final = out / f"part={pid}"
+            if (final / "_COMMIT.json").exists():
+                result["partition_id"].append(pid)
+                result["rows"].append(0)
+                result["skipped"].append(True)
+            else:
+                tmp = out / f".tmp-{pid}-{uuid.uuid4().hex[:8]}"
+                tmp.mkdir(parents=True)
+                try:
+                    nblobs = write_pbf(str(tmp / "data.osm.pbf"), nodes=batch,
+                                       compress=compress, dense=dense)
+                    rec = {
+                        "partition_id": pid,
+                        "lineage": {"id_range": [int(ids.min()), int(ids.max())]},
+                        "row_count": batch.num_rows,
+                        "checksum": table_checksum(batch.select(["id"])),
+                        "metrics": {"blobs": nblobs},
+                    }
+                    (tmp / "_COMMIT.json").write_text(json.dumps(rec) + "\n")
+                    if final.exists():
+                        import shutil
+
+                        shutil.rmtree(final)
+                    import os as _os
+
+                    _os.rename(tmp, final)
+                except BaseException:
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
+                result["partition_id"].append(pid)
+                result["rows"].append(batch.num_rows)
+                result["skipped"].append(False)
+        return pa.table(
+            {
+                "partition_id": pa.array(result["partition_id"], type=pa.string()),
+                "rows": pa.array(result["rows"], type=pa.int64()),
+                "skipped": pa.array(result["skipped"], type=pa.bool_()),
+            }
+        )
+
+    res = nodes_ds.map_batches(write_block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return {
+        "written": int((~res["skipped"]).sum()),
+        "skipped": int(res["skipped"].sum()),
+        "out_dir": out_dir,
+    }
+
+
+def read_pbf_partitioned_nodes(out_dir: str):
+    """Read back every committed partition written by
+    ``write_pbf_partitioned`` as one nodes Dataset."""
+    from osmpbf_ray.state.manifest import Manifest
+
+    paths = [
+        str(Manifest(out_dir).out_dir / f"part={pid}" / "data.osm.pbf")
+        for pid in sorted(Manifest(out_dir).completed())
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    return read_pbf_nodes(paths)

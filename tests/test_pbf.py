@@ -287,6 +287,55 @@ def test_read_pbf_raw_escape_hatch(tmp_path):
     assert bytes(wire["data"].iloc[0]) == expect
 
 
+def test_write_pbf_partitioned_resumable(tmp_path):
+    """Distributed PBF sink: one file per block with atomic commit
+    markers; rerun skips completed partitions; dropped partition gets
+    recomputed; readback equals the input."""
+    import shutil
+
+    path, ids = _sorted_world(tmp_path, n=8000, per_block=2048)
+    nodes = pbf.read_pbf_nodes(path)  # 4 blocks of 2048
+    out_dir = str(tmp_path / "sink")
+    res1 = pbf.write_pbf_partitioned(nodes, out_dir)
+    assert res1["written"] >= 2 and res1["skipped"] == 0
+    back = pbf.read_pbf_partitioned_nodes(out_dir).to_pandas()
+    assert sorted(back["id"]) == sorted(ids.tolist())
+
+    # crash simulation: drop one partition (data + marker die together)
+    victim = sorted((tmp_path / "sink").glob("part=*"))[1]
+    shutil.rmtree(victim)
+    res2 = pbf.write_pbf_partitioned(pbf.read_pbf_nodes(path), out_dir)
+    assert res2["written"] == 1 and res2["skipped"] == res1["written"] - 1
+    back2 = pbf.read_pbf_partitioned_nodes(out_dir).to_pandas()
+    assert sorted(back2["id"]) == sorted(ids.tolist())
+
+
+def test_read_pbf_multi_file(tmp_path):
+    # build two separate files and read them as one descriptor stream
+    import os
+
+    os.makedirs(tmp_path / "m", exist_ok=True)
+    paths, all_ids = [], []
+    for k in range(2):
+        ids = (np.arange(1, 1001, dtype=np.int64) + k * 100_000) * 2
+        nano = (ids % 1_000_000) * 100
+        nodes = pa.table(
+            {
+                "id": ids, "lat": nano * 1e-9, "lon": nano * 1e-9,
+                "nano_lat": nano, "nano_lon": nano,
+                "tags": pa.array([[]] * len(ids), type=schema.NODES_SCHEMA.field("tags").type),
+                "info": pa.nulls(len(ids), type=schema.INFO_STRUCT),
+            },
+            schema=schema.NODES_SCHEMA,
+        )
+        p = str(tmp_path / "m" / f"f{k}.osm.pbf")
+        pbf.write_pbf(p, nodes=nodes)
+        paths.append(p)
+        all_ids.extend(ids.tolist())
+    ds = pbf.read_pbf_nodes(paths)
+    assert sorted(ds.to_pandas()["id"]) == sorted(all_ids)
+
+
 def test_pbf_blocks_lineage_is_byte_offset(tmp_path):
     path = _write_golden(tmp_path, "zlib", True)
     blocks = pbf.read_pbf_blocks(path).to_pandas()
