@@ -1083,6 +1083,35 @@ def q_cosine_pairs_exact(sf_dir: str):
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_image_resize(sf_dir: str):
+    """Multimodal resize transform: decode → 16×16 area thumbnail →
+    re-encode, pixels never dataset-wide. Rows-only (bytes output);
+    pytest asserts pixel-level correctness of resize_area."""
+    from osmpbf_ray.stages.image import ImageResizeStage
+
+    images = rd.from_arrow(_synth_images(sf_dir))
+    out = images.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=_conc(8),
+    )
+    return out.select_columns(["image_id", "thumb_w", "thumb_h", "decode_error"])
+
+
+def q_ngram_verify(sf_dir: str):
+    """MinHash candidates re-verified by EXACT n-gram Jaccard (the
+    candidate-only verify family): only candidate docs' texts are
+    fetched. Rows-only."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = dedup.minhash_candidate_pairs(ds, threshold=0.4)
+    return dedup.ngram_jaccard_pairs(ds, cand, threshold=0.4).select_columns(
+        ["id_a", "id_b", "jaccard"]
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog COUNT(DISTINCT l_partkey): fixed 4 KiB sketch per
     batch, no shuffle — the scale path next to ``distinct_count``'s
@@ -1156,6 +1185,8 @@ def queries() -> dict:
         "image_decode": q_image_decode,
         "knn_join_geo_kring": q_knn_join_geo_kring,
         "approx_distinct": q_approx_distinct,
+        "image_resize": q_image_resize,
+        "ngram_verify": q_ngram_verify,
         "flagship": q_flagship,
     }
 

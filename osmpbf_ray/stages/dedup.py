@@ -443,7 +443,13 @@ def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
 
     cand_ids = _collect_ids(pairs_ds)
     if len(cand_ids) == 0:
-        return pairs_ds
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+        )
     cand_docs = broadcast_semi_join(
         ds.select_columns([id_col, text_col]), id_col, ray.put(cand_ids)
     )

@@ -343,6 +343,60 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def resize_area(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize of (h, w, 3) uint8 → (out_h, out_w, 3).
+
+    Same reduceat binning as the phash gray path, applied per channel —
+    pure numpy, no imaging library. Upsampling repeats source pixels so
+    every output bin has ≥ 1 source pixel (nearest-neighbor growth)."""
+    img = rgb.astype(np.float64)
+    if img.shape[0] < out_h:
+        img = np.repeat(img, -(-out_h // img.shape[0]), axis=0)
+    if img.shape[1] < out_w:
+        img = np.repeat(img, -(-out_w // img.shape[1]), axis=1)
+    h, w = img.shape[:2]
+    rbins = (np.arange(out_h) * h) // out_h
+    cbins = (np.arange(out_w) * w) // out_w
+    rows = np.add.reduceat(img, rbins, axis=0)
+    cells = np.add.reduceat(rows, cbins, axis=1)
+    rcnt = np.diff(np.append(rbins, h))[:, None, None]
+    ccnt = np.diff(np.append(cbins, w))[None, :, None]
+    return np.clip(np.round(cells / (rcnt * ccnt)), 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode → area-resize → re-encode as PNG.
+
+    The multimodal "resize" transform over the opaque bytes column:
+    pixels exist only inside the batch UDF; output rows carry the
+    re-encoded thumbnail bytes plus the new dimensions. Decode errors
+    flow to the error channel like ImageDecoder."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_bytes: list[bytes | None] = []
+        errors = np.zeros(len(blobs), dtype=bool)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            try:
+                px = decode_image(blob, fmt)
+                out_bytes.append(encode_png(resize_area(px, self.out_h, self.out_w)))
+            except (ValueError, zlib.error):
+                out_bytes.append(None)
+                errors[i] = True
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("thumb_bytes", pa.array(out_bytes, type=pa.binary()))
+        out = out.append_column("thumb_w", pa.array(np.full(len(blobs), self.out_w, dtype=np.int32)))
+        out = out.append_column("thumb_h", pa.array(np.full(len(blobs), self.out_h, dtype=np.int32)))
+        out = out.append_column("decode_error", pa.array(errors, type=pa.bool_()))
+        return out
+
+
 class ImageDecoder:
     """Actor-pool stage: decode image bytes, emit pixel stats + fresh phash.
 

@@ -78,6 +78,45 @@ def test_decode_image_dispatch_and_errors():
         img.decode_image(b"garbage", "gif")
 
 
+def test_resize_area():
+    rng = np.random.default_rng(9)
+    # exact mean on an integer-divisible downsample
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    small = img.resize_area(px, 16, 16)
+    expect = np.round(
+        px.astype(np.float64).reshape(16, 4, 16, 4, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert (small == expect).all()
+    # constant image stays constant at any scale (up + down)
+    flat = np.full((10, 7, 3), 123, dtype=np.uint8)
+    for shape in [(3, 3), (32, 32), (5, 20)]:
+        assert (img.resize_area(flat, *shape) == 123).all()
+
+
+def test_image_resize_stage():
+    import ray.data as rd
+
+    from osmpbf_ray.sources import fixtures
+    from osmpbf_ray.stages.image import ImageResizeStage
+
+    images = fixtures.make_images(40)
+    out = (
+        rd.from_arrow(images)
+        .map_batches(
+            ImageResizeStage,
+            fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 40 and not out["decode_error"].any()
+    # thumbnails are valid PNGs of the requested size
+    px = img.decode_png(out["thumb_bytes"].iloc[0])
+    assert px.shape == (16, 16, 3)
+
+
 def test_phash_properties():
     rng = np.random.default_rng(4)
     a = fixtures._synth_pixels(rng, 64, 64, 1)
