@@ -326,18 +326,30 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word-token hashes (sign of bit-weight sums)."""
-    th = token_hashes(text)
-    if len(th) == 0:
-        return 0
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized SimHash across a batch: one flat token-hash array, one
+    (total, 64) bit expansion, per-doc segmented ``add.reduceat`` for the
+    bit-weight sums — no per-doc Python hashing loop."""
+    th = [token_hashes(str(t)) for t in texts]
+    out = np.zeros(len(texts), dtype=np.int64)
+    nonempty = [i for i, h in enumerate(th) if len(h)]
+    if not nonempty:
+        return out
+    lens = np.array([len(th[i]) for i in nonempty], dtype=np.int64)
+    flat = np.concatenate([th[i] for i in nonempty])
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
-    weights = (2 * bits - 1).sum(axis=0)
-    val = np.uint64(0)
-    for i in range(64):
-        if weights[i] > 0:
-            val |= np.uint64(1) << np.uint64(i)
-    return int(val.astype(np.int64))
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    weights = 2 * np.add.reduceat(bits, offs, axis=0) - lens[:, None]  # (docs, 64)
+    vals = ((weights > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = vals.view(np.int64)
+    return out
 
 
 class SimHashStage:
@@ -345,7 +357,7 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["simhash"] = [simhash64(str(t)) for t in batch[self.text_col]]
+        batch["simhash"] = simhash64_batch(list(batch[self.text_col]))
         return batch
 
 
