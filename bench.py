@@ -125,6 +125,57 @@ def ensure_images() -> str:
     return CACHE
 
 
+N_PBF_NODES = int(os.environ.get("GRAFT_BENCH_PBF_NODES", "2000000"))
+PBF_CACHE = f"/tmp/osmpbf_ray_bench/nodes_n{N_PBF_NODES}.osm.pbf"
+
+
+def ensure_pbf() -> str:
+    """Deterministic 2M-node .osm.pbf (written once through the engine's
+    own writer; generation excluded from the measured time)."""
+    import pyarrow as pa
+
+    from osmpbf_ray import schema as _schema
+    from osmpbf_ray.sources import pbf as _pbf
+
+    if os.path.exists(PBF_CACHE):
+        return PBF_CACHE
+    os.makedirs(os.path.dirname(PBF_CACHE), exist_ok=True)
+    n = N_PBF_NODES
+    ids = np.arange(1, n + 1, dtype=np.int64) * 3
+    nano_lat = ((ids * 37) % 120_000_000_000) - 60_000_000_000
+    nano_lat -= nano_lat % 100
+    nano_lon = ((ids * 91) % 360_000_000_000) - 180_000_000_000
+    nano_lon -= nano_lon % 100
+    nodes = pa.table(
+        {
+            "id": ids,
+            "lat": nano_lat * 1e-9,
+            "lon": nano_lon * 1e-9,
+            "nano_lat": nano_lat,
+            "nano_lon": nano_lon,
+            "tags": pa.array([[]] * n, type=_schema.NODES_SCHEMA.field("tags").type),
+            "info": pa.nulls(n, type=_schema.INFO_STRUCT),
+        },
+        schema=_schema.NODES_SCHEMA,
+    )
+    _pbf.write_pbf(PBF_CACHE + ".tmp", nodes=nodes)
+    os.replace(PBF_CACHE + ".tmp", PBF_CACHE)
+    return PBF_CACHE
+
+
+def run_pbf_decode() -> tuple[float, int]:
+    """Framed scan → zlib → wire parse → vectorized decode throughput
+    over the cached 2M-node file (the container-ingestion metric)."""
+    from osmpbf_ray.sources import pbf as _pbf
+
+    path = ensure_pbf()
+    t0 = time.time()
+    n = _pbf.read_pbf_nodes(path).count()
+    elapsed = time.time() - t0
+    assert n == N_PBF_NODES
+    return elapsed, n
+
+
 def run_headline() -> tuple[float, int]:
     """images parquet → decode actor pool → spatial join → tile assign →
     pre-aggregated tile stats. Returns (elapsed_sec, input_rows)."""
@@ -281,6 +332,10 @@ def main() -> None:
         "rows_per_sec": round(nrows / elapsed, 1),
     }
     if not args.headline_only:
+        pbf_runs = [run_pbf_decode() for _ in range(2)]
+        pbf_sec, pbf_rows = min(pbf_runs)
+        result["pbf_decode_sec"] = round(pbf_sec, 3)
+        result["pbf_rows_per_sec"] = round(pbf_rows / pbf_sec, 1)
         result["queries"] = run_queries()
     print(json.dumps(result))
     ray.shutdown()

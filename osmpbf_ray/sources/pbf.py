@@ -79,13 +79,17 @@ def _parse_blob_header(buf) -> tuple[str, int]:
     return btype, datasize
 
 
-def decode_blob(buf) -> bytes:
-    """Blob message → uncompressed payload (src/blob.rs:455-469)."""
+def decode_blob(buf, copy: bool = True):
+    """Blob message → uncompressed payload (src/blob.rs:455-469).
+
+    ``copy=False`` returns raw (uncompressed) payloads as a memoryview
+    into ``buf`` — the zero-copy path the mmap reader uses (zlib blobs
+    always materialize, as in the reference's decompression)."""
     raw = None
     raw_size = None
     for field, wire, val in w.iter_fields(buf):
         if field == 1 and wire == w.WIRE_LEN:  # raw
-            raw = bytes(val)
+            raw = bytes(val) if copy else val
         elif field == 2 and wire == w.WIRE_VARINT:
             raw_size = val
         elif field == 3 and wire == w.WIRE_LEN:  # zlib_data
@@ -498,42 +502,62 @@ def _descriptor_ds(path, override_num_blocks: int | None = None):
     return rd.from_items(items, override_num_blocks=override_num_blocks)
 
 
-def _fetch_parse(batch: pa.Table, row_fn, out_schema: pa.Schema) -> pa.Table:
+def _fetch_parse(batch: pa.Table, row_fn, out_schema: pa.Schema,
+                 on_error: str = "raise") -> pa.Table:
+    """Fetch + decompress + parse each blob of the batch.
+
+    ``on_error="skip"`` turns a malformed blob into a skipped blob (the
+    engine's error-channel policy — per SURVEY §4 the task survives and
+    Ray's retry covers transient IO; the reference instead latches the
+    first error and stops, src/blob.rs:266-269). A warning with the blob
+    offset is printed so skips are observable in task logs.
+    """
     paths = batch.column("path").to_pylist()
     offsets = batch.column("offset").to_pylist()
     sizes = batch.column("datasize").to_pylist()
     rows = []
     for p, off, sz in zip(paths, offsets, sizes):
-        pb = parse_primitive_block(_read_payload(p, off, sz))
+        try:
+            pb = parse_primitive_block(_read_payload(p, off, sz))
+        except (ValueError, zlib.error) as exc:
+            if on_error != "skip":
+                raise
+            print(f"osmpbf_ray: skipping malformed blob at {p}:{off}: {exc}")
+            continue
         rows.extend(row_fn(off, pb))
     if not rows:
         return out_schema.empty_table()
     return pa.Table.from_pylist(rows, schema=out_schema)
 
 
-def read_pbf_blocks(path: str, override_num_blocks: int | None = None):
-    """path → Dataset[BLOCKS_SCHEMA] (node-bearing groups only).
+def read_pbf_blocks(path, override_num_blocks: int | None = None,
+                    on_error: str = "raise"):
+    """path (or list of paths) → Dataset[BLOCKS_SCHEMA] (node-bearing
+    groups only).
 
     ``block_id`` is the blob's byte offset — the reference's ByteOffset
-    lineage key (src/blob.rs:57) for free."""
+    lineage key (src/blob.rs:57) for free. ``on_error="skip"`` routes
+    malformed blobs to the error channel instead of failing the task."""
     return _descriptor_ds(path, override_num_blocks).map_batches(
-        lambda b: _fetch_parse(b, node_block_rows, schema.BLOCKS_SCHEMA),
+        lambda b: _fetch_parse(b, node_block_rows, schema.BLOCKS_SCHEMA, on_error),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
 
-def read_pbf_way_blocks(path: str, override_num_blocks: int | None = None):
+def read_pbf_way_blocks(path, override_num_blocks: int | None = None,
+                        on_error: str = "raise"):
     return _descriptor_ds(path, override_num_blocks).map_batches(
-        lambda b: _fetch_parse(b, way_block_rows, schema.WAY_BLOCKS_SCHEMA),
+        lambda b: _fetch_parse(b, way_block_rows, schema.WAY_BLOCKS_SCHEMA, on_error),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
 
-def read_pbf_relation_blocks(path: str, override_num_blocks: int | None = None):
+def read_pbf_relation_blocks(path, override_num_blocks: int | None = None,
+                             on_error: str = "raise"):
     return _descriptor_ds(path, override_num_blocks).map_batches(
-        lambda b: _fetch_parse(b, relation_block_rows, schema.REL_BLOCKS_SCHEMA),
+        lambda b: _fetch_parse(b, relation_block_rows, schema.REL_BLOCKS_SCHEMA, on_error),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -581,14 +605,14 @@ def read_pbf_raw(path: str, decompress: bool = True,
     )
 
 
-def read_pbf_nodes(path: str, **kwargs):
+def read_pbf_nodes(path, **kwargs):
     """path → canonical NODES_SCHEMA Dataset (ElementReader equivalent)."""
     from osmpbf_ray.stages import decode
 
     return decode.decode_blocks_ds(read_pbf_blocks(path, **kwargs))
 
 
-def read_pbf_ways(path: str, **kwargs):
+def read_pbf_ways(path, **kwargs):
     from osmpbf_ray.stages import decode
 
     return read_pbf_way_blocks(path, **kwargs).map_batches(
@@ -596,7 +620,7 @@ def read_pbf_ways(path: str, **kwargs):
     )
 
 
-def read_pbf_relations(path: str, **kwargs):
+def read_pbf_relations(path, **kwargs):
     from osmpbf_ray.stages import decode
 
     return read_pbf_relation_blocks(path, **kwargs).map_batches(
@@ -919,3 +943,41 @@ def read_pbf_partitioned_nodes(out_dir: str):
     if not paths:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
     return read_pbf_nodes(paths)
+
+
+def mmap_blob_reader(path: str):
+    """Zero-copy sequential blob iterator over a memory-mapped file —
+    the engine twin of MmapBlobReader (/root/reference/src/mmap_blob.rs:
+    123-242): yields ``(descriptor, payload)`` where raw payloads are
+    memoryview SLICES of the mapping (no copy; zlib blobs decompress, as
+    in the reference). Driver-side sequential use; within Ray the
+    zero-copy analog is the object store + ``zero_copy_batch=True``.
+    """
+    import mmap as _mmap
+
+    with open(path, "rb") as f:
+        mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+    view = memoryview(mm)
+    try:
+        pos, end = 0, len(view)
+        while pos < end:
+            (hsize,) = struct.unpack(">I", view[pos : pos + 4])
+            if hsize > MAX_HEADER_SIZE:
+                raise ValueError(f"blob header exceeds {MAX_HEADER_SIZE} bytes")
+            btype, datasize = _parse_blob_header(view[pos + 4 : pos + 4 + hsize])
+            off = pos + 4 + hsize
+            # raw payloads stay memoryview slices of the mapping —
+            # consume within the loop (the mapping is unmapped after it)
+            payload = decode_blob(view[off : off + datasize], copy=False)
+            yield (
+                {"path": path, "offset": off, "datasize": datasize, "type": btype},
+                payload,
+            )
+            del payload
+            pos = off + datasize
+    finally:
+        view.release()
+        try:
+            mm.close()
+        except BufferError:
+            pass  # consumer kept a payload slice alive; GC unmaps later

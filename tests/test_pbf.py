@@ -336,6 +336,42 @@ def test_read_pbf_multi_file(tmp_path):
     assert sorted(ds.to_pandas()["id"]) == sorted(all_ids)
 
 
+def test_on_error_skip_malformed_blob(tmp_path):
+    """Error channel: a corrupted blob is skipped (with on_error="skip"),
+    the rest decode; default strict mode raises."""
+    path, ids = _sorted_world(tmp_path, n=4096, per_block=1024)
+    descs = pbf.scan_blobs(path)
+    victim = [d for d in descs if d["type"] == "OSMData"][1]
+    with open(path, "r+b") as f:
+        f.seek(victim["offset"] + 4)
+        f.write(b"\xff" * 8)  # corrupt the zlib stream
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        pbf.read_pbf_nodes(path).count()
+    got = pbf.read_pbf_nodes(path, on_error="skip").to_pandas()
+    assert len(got) == 4096 - 1024
+    assert set(got["id"]) == set(ids.tolist()) - set(ids[1024:2048].tolist())
+
+
+def test_mmap_blob_reader_zero_copy(tmp_path):
+    """MmapBlobReader twin: raw payloads are memoryview slices (no copy);
+    sequential iteration yields every blob in order."""
+    path = _write_golden(tmp_path, "raw", True)
+    seen = []
+    for desc, payload in pbf.mmap_blob_reader(path):
+        seen.append(desc["type"])
+        if desc["type"] == "OSMData":
+            assert isinstance(payload, memoryview)  # zero-copy slice
+            block = pbf.parse_primitive_block(payload)
+            assert block["stringtable"] is not None
+    assert seen[0] == "OSMHeader" and len(seen) == len(pbf.scan_blobs(path))
+    # zlib variant: payloads decompress (materialized, like the reference)
+    zpath = _write_golden(tmp_path, "zlib", True)
+    data = [p for d, p in pbf.mmap_blob_reader(zpath) if d["type"] == "OSMData"]
+    assert all(isinstance(p, bytes) for p in data)
+
+
 def test_pbf_blocks_lineage_is_byte_offset(tmp_path):
     path = _write_golden(tmp_path, "zlib", True)
     blocks = pbf.read_pbf_blocks(path).to_pandas()
