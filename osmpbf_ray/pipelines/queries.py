@@ -835,23 +835,43 @@ def q_relation_resolve(sf_dir: str):
     vocab = [b"", b"A", b"N", b"R"]
     role_of = {"A": 1, "N": 2, "R": 3}
 
-    def to_rel_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("l_linenumber", kind="stable")
-        memids = g["l_partkey"].to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {
-                "block_id": [0],
-                "id": [int(g["l_orderkey"].iloc[0])],
-                "roles_sid": [[role_of[f] for f in g["l_returnflag"]]],
-                "memids_delta": [np.diff(memids, prepend=0).tolist()],
-                "types": [(g["l_linenumber"].to_numpy() % 3).astype(np.int8).tolist()],
-                "keys": [[]],
-                "vals": [[]],
-                "stringtable": [list(vocab)],
-            }
-        )
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (batch.column("l_orderkey").to_numpy() % 64).astype(np.int64)
+        return batch.append_column("__pkey", pa.array(pk))
 
-    rel_blocks = li.groupby("l_orderkey").map_groups(to_rel_block, batch_format="pandas")
+    def to_rel_blocks(g: pd.DataFrame) -> pd.DataFrame:
+        # one partition holds MANY whole relations (hash co-location on
+        # l_orderkey % 64) — per-relation work is a numpy segment loop,
+        # not a Ray group per order
+        g = g.sort_values(["l_orderkey", "l_linenumber"], kind="stable")
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        ln = g["l_linenumber"].to_numpy()
+        rf = g["l_returnflag"].to_numpy()
+        bounds = np.flatnonzero(np.diff(ok)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(ok)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            rows.append(
+                {
+                    "block_id": 0,
+                    "id": int(ok[s]),
+                    "roles_sid": [role_of[f] for f in rf[s:e]],
+                    "memids_delta": np.diff(pk[s:e], prepend=0).tolist(),
+                    "types": (ln[s:e] % 3).astype(np.int8).tolist(),
+                    "keys": [],
+                    "vals": [],
+                    "stringtable": list(vocab),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    rel_blocks = (
+        li.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(to_rel_blocks, batch_format="pandas")
+    )
 
     def cast_blocks(batch: pa.Table) -> pa.Table:
         return batch.cast(_schema.REL_BLOCKS_SCHEMA)

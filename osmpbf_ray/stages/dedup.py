@@ -52,17 +52,36 @@ def add_md5_column(batch: pa.Table, text_col: str = "text", out_col: str = "text
     return batch.append_column(out_col, pa.array(md5_hex(batch.column(text_col).to_pylist())))
 
 
-def exact_dedup(ds, key_col: str, order_col: str):
+def exact_dedup(ds, key_col: str, order_col: str, n_parts: int = 64):
     """Keep the first row (min order_col) per key — hash-partitioned.
 
-    ``groupby(key).map_groups(head(1))`` after an in-group sort; the
-    shuffle key is the content hash so duplicates co-locate.
+    Shuffles on ``hash(key) % n_parts`` (duplicates co-locate because
+    they share the key), then one vectorized sort + ``drop_duplicates``
+    per partition. Keying the groupby on the content hash itself would
+    pay per-group Python orchestration for every DISTINCT key — at
+    dedup scale that is nearly every row.
     """
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="stable").head(1)
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__pkey", pa.array([], type=pa.int64()))
+        k = _key_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__pkey", pa.array((splitmix64(k) % np.uint64(n_parts)).view(np.int64))
+        )
 
-    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([key_col, order_col], kind="stable")
+            .drop_duplicates(key_col)
+            .drop(columns="__pkey")
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(first_per_key, batch_format="pandas")
+    )
 
 
 # --- shingles + MinHash -----------------------------------------------------
