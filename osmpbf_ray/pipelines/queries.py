@@ -238,12 +238,23 @@ def q_coord_decode(sf_dir: str):
 def q_delta_decode(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
 
-    def cumsum_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id", kind="stable")
-        g["running_sum"] = np.cumsum(g["event_id"].to_numpy(), dtype=np.int64)
-        return g
+    # hash-partition users (user_id % 64) instead of one Ray group per
+    # user: whole user streams co-locate, and the per-user running sum
+    # is pandas' C-implemented grouped cumsum inside each partition
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (batch.column("user_id").to_numpy() % 64).astype(np.int64)
+        return batch.append_column("__pkey", pa.array(pk))
 
-    return ds.groupby("user_id").map_groups(cumsum_group, batch_format="pandas")
+    def cumsum_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        g["running_sum"] = g.groupby("user_id")["event_id"].cumsum().astype(np.int64)
+        return g.drop(columns="__pkey")
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(cumsum_part, batch_format="pandas")
+    )
 
 
 # --- 8. grouped aggregation (partial+final; integer-exact money) ------------
@@ -475,12 +486,27 @@ def q_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=30)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values(kind="stable")
-        breaks = (ts.diff() > gap).sum() + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(breaks)]})
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (batch.column("user_id").to_numpy() % 64).astype(np.int64)
+        return batch.append_column("__pkey", pa.array(pk))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        brk = (g.groupby("user_id")["ts"].diff() > gap).astype(np.int64)
+        out = (
+            g.assign(__brk=brk)
+            .groupby("user_id", as_index=False)["__brk"]
+            .sum()
+            .rename(columns={"__brk": "n_sessions"})
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64) + 1
+        return out
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(sessions_part, batch_format="pandas")
+    )
 
 
 # --- 18c. distinct count (two-level exact) ----------------------------------
