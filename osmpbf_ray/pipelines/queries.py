@@ -1158,6 +1158,30 @@ def q_ngram_verify(sf_dir: str):
     )
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join via a broadcast Bloom pre-filter + exact refine: the
+    join-pruning shape for big×selective joins (drop non-matching rows
+    map-side before any shuffle). Exact, so SQL-oracled like the plain
+    broadcast semi-join."""
+    from osmpbf_ray.stages import sketch
+
+    ords = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    keys = ords.filter(pc.equal(ords["o_orderpriority"], "1-URGENT")).column("o_custkey").to_numpy()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return sketch.bloom_semi_join(cust, "c_custkey", keys, exact=True)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash-threshold sample (~10% of order keys, all
+    lineitems of a sampled order kept together). Rows-only: the keep set
+    is a pure function of splitmix64(key), which SQL cannot cheaply
+    reproduce; pytest checks determinism and rate."""
+    from osmpbf_ray.stages import sketch
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return sketch.hash_sample(ds, "l_orderkey", rate=0.1)
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog COUNT(DISTINCT l_partkey): fixed 4 KiB sketch per
     batch, no shuffle — the scale path next to ``distinct_count``'s
@@ -1220,6 +1244,7 @@ def queries() -> dict:
         "phash_dedup": q_phash_dedup,
         "knn_join_geo": q_knn_join_geo,
         "cosine_pairs_exact": q_cosine_pairs_exact,
+        "bloom_semi_join": q_bloom_semi_join,
         # rows-only (non-SQL-expressible)
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1233,6 +1258,7 @@ def queries() -> dict:
         "approx_distinct": q_approx_distinct,
         "image_resize": q_image_resize,
         "ngram_verify": q_ngram_verify,
+        "hash_sample": q_hash_sample,
         "flagship": q_flagship,
     }
 
@@ -1389,6 +1415,10 @@ def oracle_sql() -> dict:
             "(((c_custkey*9301+49297) % 120000)*10000 - 600000000)*100 AS nano_lat, "
             "(((c_custkey*7901+1237) % 360000)*10000 - 1800000000)*100 AS nano_lon "
             "FROM customer WHERE c_custkey % 37 = 0"
+        ),
+        "bloom_semi_join": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')"
         ),
         "cosine_pairs_exact": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -87,3 +87,94 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         for blob in t.column("regs").to_pylist():
             regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
     return hll_estimate(regs)
+
+
+# --- Bloom filter (join pre-filtering) ---------------------------------------
+
+
+def bloom_build(values: np.ndarray, n_bits_pow: int = 20, k: int = 4) -> np.ndarray:
+    """Bloom filter over a key set: 2^n_bits_pow bits, k probes.
+
+    The 100-TB use: build from the SMALL join side, broadcast the fixed
+    2^(n_bits_pow-3)-byte array via ``ray.put``, and drop most non-
+    matching big-side rows BEFORE a shuffle join pays to move them.
+    False-positive rate ≈ (1 − e^(−k·n/m))^k — at 1M keys in 2^23 bits
+    with k=4 that is ~2.4%. No false negatives.
+    """
+    m = 1 << n_bits_pow
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    if len(values) == 0:
+        return bits
+    h = _hash_u64(values)
+    mask = np.uint64(m - 1)
+    for i in range(k):
+        idx = ((h >> np.uint64(8 * i)) & mask).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, values: np.ndarray, k: int = 4) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present, False = absent."""
+    if len(values) == 0:
+        return np.zeros(0, dtype=bool)
+    m = np.uint64(len(bits) << 3)
+    h = _hash_u64(values)
+    mask = m - np.uint64(1)
+    out = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = ((h >> np.uint64(8 * i)) & mask).astype(np.int64)
+        out &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+    return out
+
+
+def bloom_semi_join(ds, key_col: str, small_keys: np.ndarray,
+                    n_bits_pow: int = 20, exact: bool = True):
+    """Semi-join with a broadcast Bloom pre-filter.
+
+    The bloom pass drops ~all non-matching rows map-side; ``exact=True``
+    adds an ``is_in`` refine against the true key set (still broadcast)
+    so the result is exact — use ``exact=False`` when a downstream join
+    will re-check the key anyway and the small side is too big to ship
+    as a sorted array but fits as a filter.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    keys = np.unique(np.asarray(small_keys))
+    bits_ref = ray.put(bloom_build(keys, n_bits_pow))
+    keys_ref = ray.put(keys) if exact else None
+
+    def filt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        vals = batch.column(key_col).to_numpy(zero_copy_only=False)
+        maybe = bloom_contains(ray.get(bits_ref), vals)
+        out = batch.filter(pa.array(maybe))
+        if exact and out.num_rows:
+            wanted = pa.array(ray.get(keys_ref))
+            out = out.filter(pc.is_in(out[key_col], value_set=wanted))
+        return out
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- deterministic hash-threshold sampling -----------------------------------
+
+
+def hash_sample(ds, key_col: str, rate: float):
+    """Deterministic sample: keep a row iff ``splitmix64(key) < rate·2^64``.
+
+    Unlike reservoir/random sampling this is reproducible under ANY
+    partitioning or execution order (the keep decision is a pure
+    function of the key), keeps all rows of a key together, and needs
+    no coordination — the right shape for sampling a 100 TB table.
+    """
+    threshold = np.uint64(int(rate * float(2**64))) if rate < 1.0 else np.uint64(2**64 - 1)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = _hash_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(h < threshold))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

@@ -35,6 +35,41 @@ def test_hll_string_keys_deterministic():
     assert abs(est / 500 - 1) < 0.1
 
 
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(8)
+    keys = rng.choice(1_000_000, 20_000, replace=False)
+    bits = sketch.bloom_build(keys, n_bits_pow=20)
+    assert sketch.bloom_contains(bits, keys).all()  # no false negatives
+    others = np.setdiff1d(rng.choice(10_000_000, 50_000, replace=False), keys)
+    fp = sketch.bloom_contains(bits, others).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_exact():
+    rng = np.random.default_rng(9)
+    big = pa.table({"k": rng.integers(0, 10_000, 50_000), "v": np.arange(50_000)})
+    keys = np.arange(0, 10_000, 7)
+    out = sketch.bloom_semi_join(rd.from_arrow(big), "k", keys).to_pandas()
+    expect = big.to_pandas()[big.to_pandas()["k"].isin(keys)]
+    assert len(out) == len(expect)
+    assert set(out["v"]) == set(expect["v"])
+
+
+def test_hash_sample_deterministic_and_key_coherent():
+    rng = np.random.default_rng(10)
+    tbl = pa.table({"k": rng.integers(0, 5_000, 40_000), "v": np.arange(40_000)})
+    s1 = sketch.hash_sample(rd.from_arrow(tbl), "k", 0.2).to_pandas()
+    s2 = sketch.hash_sample(rd.from_arrow(tbl).repartition(7), "k", 0.2).to_pandas()
+    assert sorted(s1["v"]) == sorted(s2["v"])  # partition-invariant
+    # all-or-nothing per key
+    kept = set(s1["k"])
+    full = tbl.to_pandas()
+    assert len(s1) == full["k"].isin(kept).sum()
+    # rate in a loose band (binomial over ~5000 distinct keys)
+    frac = len(kept) / full["k"].nunique()
+    assert 0.15 < frac < 0.25, frac
+
+
 def test_approx_distinct_dataset():
     n, true_n = 60_000, 7_000
     rng = np.random.default_rng(7)
