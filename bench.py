@@ -287,6 +287,10 @@ def main() -> None:
                     f"sec_{lo}": results[lo]["value"],
                     f"sec_{hi}": results[hi]["value"],
                     "headline_rows": results[hi]["headline_rows"],
+                    "host_load1_per_leg": [
+                        results[lo].get("host_load1"),
+                        results[hi].get("host_load1"),
+                    ],
                 }
             )
         )
@@ -330,6 +334,10 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "headline_rows": nrows,
         "rows_per_sec": round(nrows / elapsed, 1),
+        # host load from OTHER tenants when the run started — the sandbox
+        # shows bursty external contention that can halve throughput;
+        # compare numbers only at similar load
+        "host_load1": round(os.getloadavg()[0], 1),
     }
     if not args.headline_only:
         pbf_runs = [run_pbf_decode() for _ in range(2)]
