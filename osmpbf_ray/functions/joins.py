@@ -114,6 +114,37 @@ def broadcast_lookup_join(ds, small: pa.Table, key: str, how: str = "inner"):
     return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def resolve_way_locations(ways_ds, nodes_ds, n_buckets: int = 64):
+    """ways × nodes on ``refs`` — the geometry-resolution join.
+
+    The reference models this as the id-based FK ways→nodes
+    (/root/reference/src/elements.rs:194-199 + README.md:105-109: a full
+    resolve "may require a whole-file scan" — here it is one explicit
+    partitioned hash join). Shape: explode each way's ordered refs to
+    (way_id, pos, ref) rows — ref ORDER is semantic — then hash-join
+    against the node table on the node id; both sides bucket by the
+    same key so each bucket joins independently. Output is the exploded
+    flat form (way_id, pos, node id, nano coords): downstream tiling
+    consumes it directly, and re-nesting to LocationsOnWays lists is one
+    local groupby away.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        refs = batch.column("refs").combine_chunks()
+        flat = refs.flatten().to_numpy(zero_copy_only=False)
+        offs = refs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        row_of = np.repeat(np.arange(batch.num_rows), lens)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        ids = batch.column("id").to_numpy()
+        return pa.table(
+            {"way_id": ids[row_of], "pos": pos, "id": pa.array(flat, type=pa.int64())}
+        )
+
+    exploded = ways_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_hash_join(exploded, nodes_ds, key="id", n_buckets=n_buckets)
+
+
 def add_bucket_column(batch: pa.Table, key_col: str, n_buckets: int, out_col: str = "bucket") -> pa.Table:
     """Deterministic hash bucket for the partitioned join (splitmix64)."""
     k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -840,6 +840,31 @@ def q_pbf_pruned_read(sf_dir: str):
     return nodes.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_way_geometry(sf_dir: str):
+    """ways × nodes geometry resolution: the reference's id-based FK
+    join (elements.rs:194-199) as an explicit partitioned hash join.
+    Ways come from the lineitem-derived PBF (refs = partkeys in order);
+    the node side derives exact-integer coords from the part table."""
+    path = _way_fixture_pbf(sf_dir)
+    ways = pbf.read_pbf_ways(path)
+
+    def part_nodes(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy()
+        nano_lat = (((pk * 9301 + 49297) % 120000) * 10000 - 600000000) * 100
+        nano_lon = (((pk * 7901 + 1237) % 360000) * 10000 - 1800000000) * 100
+        return pa.table(
+            {"id": pa.array(pk, type=pa.int64()),
+             "nano_lat": pa.array(nano_lat, type=pa.int64()),
+             "nano_lon": pa.array(nano_lon, type=pa.int64())}
+        )
+
+    nodes = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        part_nodes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = joins.resolve_way_locations(ways, nodes, n_buckets=32)
+    return out.select_columns(["way_id", "pos", "id", "nano_lat", "nano_lon"])
+
+
 # --- 23. relation member resolution (elements.rs:448-460) -------------------
 
 
@@ -1240,6 +1265,7 @@ def queries() -> dict:
         "pbf_read": q_pbf_read,
         "pbf_way_refs": q_pbf_way_refs,
         "pbf_pruned_read": q_pbf_pruned_read,
+        "way_geometry": q_way_geometry,
         "relation_resolve": q_relation_resolve,
         "phash_dedup": q_phash_dedup,
         "knn_join_geo": q_knn_join_geo,
@@ -1400,6 +1426,15 @@ def oracle_sql() -> dict:
             "CAST(row_number() OVER (PARTITION BY l_orderkey "
             "ORDER BY l_linenumber, l_partkey) - 1 "
             "AS BIGINT) AS pos, l_partkey AS ref FROM lineitem"
+        ),
+        "way_geometry": (
+            "SELECT l_orderkey AS way_id, "
+            "CAST(row_number() OVER (PARTITION BY l_orderkey "
+            "ORDER BY l_linenumber, l_partkey) - 1 AS BIGINT) AS pos, "
+            "l_partkey AS id, "
+            "(((l_partkey*9301+49297) % 120000)*10000 - 600000000)*100 AS nano_lat, "
+            "(((l_partkey*7901+1237) % 360000)*10000 - 1800000000)*100 AS nano_lon "
+            "FROM lineitem"
         ),
         "relation_resolve": (
             "SELECT l_orderkey AS rel_id, l_partkey AS member_id, l_returnflag AS role, "

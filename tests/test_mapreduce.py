@@ -105,6 +105,21 @@ def test_partitioned_hash_join():
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_resolve_way_locations_golden():
+    """Way 107's refs [105,106,108,105] resolve to the golden node
+    coords in ORDER (the id-based FK join, elements.rs:194-199)."""
+    ways = rd.from_arrow(fixtures.golden_ways())
+    nodes = rd.from_arrow(
+        fixtures.golden_nodes().select(["id", "nano_lat", "nano_lon"])
+    )
+    out = joins.resolve_way_locations(ways, nodes, n_buckets=4).to_pandas()
+    out = out.sort_values("pos")
+    assert out["way_id"].tolist() == [107] * 4
+    assert out["id"].tolist() == [105, 106, 108, 105]
+    by_id = dict(zip(fixtures.GOLDEN_NODE_IDS, fixtures.GOLDEN_NANO_LAT))
+    assert out["nano_lat"].tolist() == [by_id[i] for i in [105, 106, 108, 105]]
+
+
 def test_broadcast_lookup_join():
     import numpy as np
     import pyarrow as pa
