@@ -227,16 +227,24 @@ def decode_lossy_batch(datas: list[bytes]) -> list[np.ndarray]:
         )
         groups.setdefault((h, w, quality), []).append(i)
     out: list[np.ndarray | None] = [None] * len(datas)
+    # chunk each shape group: a full 4096-image stack would allocate
+    # ~400 MB of float64 intermediates per task — at 16+ concurrent
+    # tasks that saturates memory bandwidth and was measured ~3× slower
+    # than per-image decode; ≤128 images keeps the working set ~12 MB
+    # (cache-resident) while still amortizing the per-call overhead
+    chunk = 128
     for (h, w, quality), idxs in groups.items():
         hb, wb = (h + 7) // 8, (w + 7) // 8
-        stack = np.stack([coefs[i] for i in idxs])  # (n, 3, hb, wb, 8, 8)
         q = _QBASE * quality
-        rec = np.matmul(np.matmul(_D8.T, stack.astype(np.float64) * q), _D8)
-        full = rec.transpose(0, 1, 2, 4, 3, 5).reshape(len(idxs), 3, hb * 8, wb * 8) + 128.0
-        px = np.clip(np.round(full[:, :, :h, :w]), 0, 255).astype(np.uint8)
-        px = np.ascontiguousarray(px.transpose(0, 2, 3, 1))  # (n, h, w, 3)
-        for j, i in enumerate(idxs):
-            out[i] = px[j]
+        for s in range(0, len(idxs), chunk):
+            part = idxs[s : s + chunk]
+            stack = np.stack([coefs[i] for i in part])  # (n, 3, hb, wb, 8, 8)
+            rec = np.matmul(np.matmul(_D8.T, stack.astype(np.float64) * q), _D8)
+            full = rec.transpose(0, 1, 2, 4, 3, 5).reshape(len(part), 3, hb * 8, wb * 8) + 128.0
+            px = np.clip(np.round(full[:, :, :h, :w]), 0, 255).astype(np.uint8)
+            px = np.ascontiguousarray(px.transpose(0, 2, 3, 1))  # (n, h, w, 3)
+            for j, i in enumerate(part):
+                out[i] = px[j]
     return out  # type: ignore[return-value]
 
 
@@ -320,13 +328,16 @@ def phash64_batch(images: list[np.ndarray]) -> np.ndarray:
     for i, im in enumerate(images):
         by_shape.setdefault(im.shape, []).append(i)
     weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    chunk = 256  # bound the float64 working set (cache/bandwidth)
     for idxs in by_shape.values():
-        g = _gray32_batch(np.stack([images[i] for i in idxs]))
-        coef = np.matmul(np.matmul(_D32, g), _D32.T)[:, :8, :8]
-        flat = coef.reshape(len(idxs), 64)
-        med = np.median(flat[:, 1:], axis=1)
-        bits = (flat > med[:, None]).astype(np.uint64)
-        out[idxs] = (bits * weights).sum(axis=1).astype(np.int64)
+        for s in range(0, len(idxs), chunk):
+            part = idxs[s : s + chunk]
+            g = _gray32_batch(np.stack([images[i] for i in part]))
+            coef = np.matmul(np.matmul(_D32, g), _D32.T)[:, :8, :8]
+            flat = coef.reshape(len(part), 64)
+            med = np.median(flat[:, 1:], axis=1)
+            bits = (flat > med[:, None]).astype(np.uint64)
+            out[part] = (bits * weights).sum(axis=1).astype(np.int64)
     return out
 
 
@@ -451,13 +462,16 @@ class ImageDecoder:
         ok_idx = [i for i, px in enumerate(decoded) if px is not None]
         ok_px = [decoded[i] for i in ok_idx]
         if ok_idx:
-            # means batched per shape group (one reduction per group)
+            # means batched per shape group, chunked to bound the
+            # float64 reduction working set
             by_shape: dict[tuple, list[int]] = {}
             for j, px in enumerate(ok_px):
                 by_shape.setdefault(px.shape, []).append(j)
             m = np.empty(len(ok_px))
             for idxs in by_shape.values():
-                m[idxs] = np.stack([ok_px[j] for j in idxs]).mean(axis=(1, 2, 3))
+                for s in range(0, len(idxs), 256):
+                    part = idxs[s : s + 256]
+                    m[part] = np.stack([ok_px[j] for j in part]).mean(axis=(1, 2, 3))
             means[ok_idx] = m
         if self.compute_phash and ok_idx:
             # batched by shape: one tensor DCT per size group instead of
