@@ -120,6 +120,14 @@ def test_flagship_end_to_end():
     # decode invariants survived the pipeline
     assert not joined["decode_error"].any()
     assert (joined["phash"] == joined["phash_decoded"]).all()
+    # north-rule per-row invariant: caption BYTE-equality through
+    # decode → join (input_hint: "caption equality"); pixels never leave
+    # the UDF, so the pixel side is phash equality above + the codec
+    # PSNR ≥ 40 dB bound in test_image.py
+    captions_in = dict(
+        zip(images.column("image_id").to_pylist(), images.column("caption").to_pylist())
+    )
+    assert all(captions_in[i] == c for i, c in zip(joined["image_id"], joined["caption"]))
 
 
 def test_manifest_resume(tmp_path):
