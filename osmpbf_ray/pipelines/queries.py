@@ -429,7 +429,7 @@ def _bbox_polygons() -> pa.Table:
 
 def q_spatial_join_bbox(sf_dir: str):
     pts = _customer_points(sf_dir)
-    joined = sj.spatial_join(pts, _bbox_polygons(), z=6, id_col="c_custkey", concurrency=(1, 2))
+    joined = sj.spatial_join(pts, _bbox_polygons(), z=6, id_col="c_custkey", concurrency=None)
     return joined.select_columns(["c_custkey", "poly_id"])
 
 

@@ -504,6 +504,8 @@ def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
             batch["jaccard"] = jac
             return batch[batch["jaccard"] >= threshold]
 
+    # candidate pair set is small; a 2-actor pool is plenty and avoids
+    # spinning up workers for a near-empty stage
     return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
 
 
