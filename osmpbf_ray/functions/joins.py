@@ -145,13 +145,16 @@ def resolve_way_locations(ways_ds, nodes_ds, n_buckets: int = 64):
     return partitioned_hash_join(exploded, nodes_ds, key="id", n_buckets=n_buckets)
 
 
-def add_bucket_column(batch: pa.Table, key_col: str, n_buckets: int, out_col: str = "bucket") -> pa.Table:
-    """Deterministic hash bucket for the partitioned join (splitmix64)."""
-    k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-    z = k + np.uint64(0x9E3779B97F4A7C15)
+def splitmix_u64(x) -> np.ndarray:
+    z = np.asarray(x, dtype=np.int64).view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
+    return z ^ (z >> np.uint64(31))
+
+
+def add_bucket_column(batch: pa.Table, key_col: str, n_buckets: int, out_col: str = "bucket") -> pa.Table:
+    """Deterministic hash bucket for the partitioned join (splitmix64)."""
+    z = splitmix_u64(batch[key_col].to_numpy(zero_copy_only=False))
     return batch.append_column(out_col, pa.array((z % np.uint64(n_buckets)).astype(np.int64)))
 
 
@@ -162,21 +165,67 @@ def partitioned_hash_join(
     n_buckets: int = 64,
     how: str = "inner",
     suffix: str = "_r",
+    hot_keys: "np.ndarray | None" = None,
+    n_salt: int = 8,
 ):
     """Explicit partitioned hash join (both sides large).
 
     Partitioning assumption: both sides are bucketed by the SAME
     ``hash(key) % n_buckets``; each bucket's pair joins independently
-    inside ``map_groups`` (pandas merge per bucket). Skewed keys should be
-    pre-salted by the caller (salt hot keys into sub-buckets and replicate
-    the other side across the salt range).
+    inside ``map_groups`` (pandas merge per bucket).
+
+    Skew: pass ``hot_keys`` (e.g. the top keys from a count sample) to
+    SALT them — a hot key's LEFT rows spread across ``n_salt``
+    sub-buckets (salt = row position hash) while its RIGHT rows
+    REPLICATE into all ``n_salt`` sub-buckets, so no single reducer
+    receives the whole hot key. Join results are identical; only the
+    placement changes.
     """
-    lb = left_ds.map_batches(
-        lambda b: add_bucket_column(b, key, n_buckets), batch_format="pyarrow"
-    )
-    rb = right_ds.map_batches(
-        lambda b: add_bucket_column(b, key, n_buckets), batch_format="pyarrow"
-    )
+    import ray
+
+    hot_ref = None
+    if hot_keys is not None and len(hot_keys):
+        hot_ref = ray.put(np.unique(np.asarray(hot_keys)))
+
+    def bucket_left(b: pa.Table) -> pa.Table:
+        b = add_bucket_column(b, key, n_buckets)
+        if hot_ref is None or b.num_rows == 0:
+            return b
+        k = b[key].to_numpy(zero_copy_only=False)
+        hot = np.isin(k, ray.get(hot_ref))
+        # spread a hot key's rows over n_salt sub-buckets; any
+        # near-uniform assignment is correct (the right side replicates
+        # into every sub-bucket), so a row-position hash suffices
+        salt = (splitmix_u64(k + np.arange(len(k), dtype=np.int64)) % np.uint64(n_salt)).astype(np.int64)
+        bucket = b["bucket"].to_numpy() * np.int64(n_salt) + np.where(hot, salt, 0)
+        return b.set_column(b.schema.get_field_index("bucket"), "bucket", pa.array(bucket))
+
+    def bucket_right(b: pa.Table) -> pa.Table:
+        b = add_bucket_column(b, key, n_buckets)
+        if hot_ref is None or b.num_rows == 0:
+            return b
+        k = b[key].to_numpy(zero_copy_only=False)
+        hot = np.isin(k, ray.get(hot_ref))
+        base = b["bucket"].to_numpy() * np.int64(n_salt)
+        cold = b.filter(pa.array(~hot)).set_column(
+            b.schema.get_field_index("bucket"), "bucket",
+            pa.array(base[~hot]),
+        )
+        if not hot.any():
+            return cold
+        hot_tbl = b.filter(pa.array(hot))
+        parts = [cold]
+        for s in range(n_salt):  # replicate hot right rows across salts
+            parts.append(
+                hot_tbl.set_column(
+                    hot_tbl.schema.get_field_index("bucket"), "bucket",
+                    pa.array(base[hot] + s),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    lb = left_ds.map_batches(bucket_left, batch_format="pyarrow")
+    rb = right_ds.map_batches(bucket_right, batch_format="pyarrow")
     tagged_l = lb.map_batches(
         lambda b: b.append_column("__side", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
         batch_format="pyarrow",

@@ -105,6 +105,29 @@ def test_partitioned_hash_join():
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_partitioned_hash_join_salted_skew():
+    """Salting hot keys yields the identical join result while spreading
+    a hot key's rows across sub-buckets (no reducer sees the whole key)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    keys = np.concatenate([np.full(3000, 7), rng.integers(0, 50, 500)])  # key 7 is hot
+    left = pa.table({"k": keys, "a": np.arange(len(keys))})
+    right = pa.table({"k": np.arange(50), "b": np.arange(50) * 10})
+    plain = joins.partitioned_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", n_buckets=8
+    ).to_pandas()
+    salted = joins.partitioned_hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", n_buckets=8,
+        hot_keys=np.array([7]), n_salt=4,
+    ).to_pandas()
+    cols = ["k", "a", "b"]
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(["k", "a"]).reset_index(drop=True),
+        salted[cols].sort_values(["k", "a"]).reset_index(drop=True),
+    )
+
+
 def test_resolve_way_locations_golden():
     """Way 107's refs [105,106,108,105] resolve to the golden node
     coords in ORDER (the id-based FK join, elements.rs:194-199)."""
