@@ -153,6 +153,97 @@ def spatial_join(
     return points_ds.map_batches(join_task, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def spatial_join_partitioned(points_ds, polygons_ds, coarse_z: int = 6,
+                             z: int = 12, id_col: str = "image_id"):
+    """points × polygons when the polygon side is TOO BIG to broadcast.
+
+    The documented fallback of ``spatial_join``: pick ONE partitioning
+    key — the coarse cell — and co-locate both sides on it. Each polygon
+    replicates to every coarse cell its bbox covers (bounded fan-out:
+    cover size at z=6 is small for real footprints); each point lands in
+    exactly one coarse cell, so matches are never duplicated. Within a
+    co-located group a local cell-cover index + ray-cast refine runs
+    exactly like the broadcast path. Output rows: (id, lat, lon, poly_id).
+    """
+
+    def poly_cover_rows(batch: pa.Table) -> pa.Table:
+        rows = {"ccell": [], "poly_id": [], "ring_lat": [], "ring_lon": []}
+        ids = batch.column("poly_id").to_pylist()
+        rings = batch.column("ring").to_pylist()
+        for pid, ring in zip(ids, rings):
+            rlat = [p["lat"] for p in ring]
+            rlon = [p["lon"] for p in ring]
+            for c in spatial.ring_cell_cover(np.asarray(rlat), np.asarray(rlon), coarse_z):
+                rows["ccell"].append(int(c))
+                rows["poly_id"].append(pid)
+                rows["ring_lat"].append(rlat)
+                rows["ring_lon"].append(rlon)
+        return pa.table(
+            {
+                "ccell": pa.array(rows["ccell"], type=pa.int64()),
+                "poly_id": pa.array(rows["poly_id"], type=pa.int64()),
+                "ring_lat": pa.array(rows["ring_lat"], type=pa.list_(pa.float64())),
+                "ring_lon": pa.array(rows["ring_lon"], type=pa.list_(pa.float64())),
+                "__side": pa.array([1] * len(rows["ccell"]), type=pa.int8()),
+                id_col: pa.array([None] * len(rows["ccell"]), type=pa.string()),
+                "lat": pa.array([None] * len(rows["ccell"]), type=pa.float64()),
+                "lon": pa.array([None] * len(rows["ccell"]), type=pa.float64()),
+            }
+        )
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        ccell = spatial.lonlat_to_cell(lat, lon, coarse_z)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "ccell": pa.array(ccell, type=pa.int64()),
+                "poly_id": pa.array([None] * n, type=pa.int64()),
+                "ring_lat": pa.array([None] * n, type=pa.list_(pa.float64())),
+                "ring_lon": pa.array([None] * n, type=pa.list_(pa.float64())),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                id_col: batch.column(id_col).cast(pa.string()),
+                "lat": batch.column("lat"),
+                "lon": batch.column("lon"),
+            }
+        )
+
+    polys = polygons_ds.map_batches(poly_cover_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pts = points_ds.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    import pandas as pd
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="object"),
+                              "lat": pd.Series(dtype="float64"),
+                              "lon": pd.Series(dtype="float64"),
+                              "poly_id": pd.Series(dtype="int64")})
+        p = g[g["__side"] == 1]
+        q = g[g["__side"] == 0]
+        if not len(p) or not len(q):
+            return empty
+        polys_local = [
+            {"poly_id": int(r.poly_id),
+             "ring_lat": np.asarray(list(r.ring_lat)),
+             "ring_lon": np.asarray(list(r.ring_lon))}
+            for r in p.drop_duplicates("poly_id").itertuples()
+        ]
+        index = PolygonIndex(polys_local, z)
+        lat = q["lat"].to_numpy()
+        lon = q["lon"].to_numpy()
+        pts_idx, poly_ids = index.join_batch(lat, lon)
+        if not len(pts_idx):
+            return empty
+        sel = q.iloc[pts_idx]
+        return pd.DataFrame({id_col: sel[id_col].to_numpy(),
+                             "lat": sel["lat"].to_numpy(),
+                             "lon": sel["lon"].to_numpy(),
+                             "poly_id": poly_ids})
+
+    return polys.union(pts).groupby("ccell").map_groups(join_group, batch_format="pandas")
+
+
 class KnnStage:
     """Actor-pool stage: k nearest reference points for each batch row.
 

@@ -106,6 +106,21 @@ def test_top_k_tiles():
     assert top["n"].iloc[0] >= 30
 
 
+def test_spatial_join_partitioned_matches_broadcast():
+    """The huge-polygon-set path (co-partition both sides by coarse
+    cell) returns exactly the broadcast join's matches."""
+    images = fixtures.make_images(300)
+    polygons = fixtures.make_polygons(15)
+    bcast = spatial_join.spatial_join(rd.from_arrow(images), polygons, z=12).to_pandas()
+    part = spatial_join.spatial_join_partitioned(
+        rd.from_arrow(images), rd.from_arrow(polygons), coarse_z=6, z=12
+    ).to_pandas()
+    assert set(zip(part["image_id"], part["poly_id"])) == set(
+        zip(bcast["image_id"], bcast["poly_id"])
+    )
+    assert len(part) == len(bcast)  # no duplicated matches
+
+
 def test_flagship_end_to_end():
     images = fixtures.make_images(200)
     polygons = fixtures.make_polygons(12)
