@@ -50,6 +50,10 @@ def _register_by_value() -> None:
         pass
 
 
+# external-tenant load BEFORE any Ray processes start — the end-of-run
+# loadavg would count this benchmark's own workers
+_LOAD_AT_START = os.getloadavg()[0]
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "800000"))
@@ -287,9 +291,9 @@ def main() -> None:
                     f"sec_{lo}": results[lo]["value"],
                     f"sec_{hi}": results[hi]["value"],
                     "headline_rows": results[hi]["headline_rows"],
-                    "host_load1_per_leg": [
-                        results[lo].get("host_load1"),
-                        results[hi].get("host_load1"),
+                    "host_load1_start_per_leg": [
+                        results[lo].get("host_load1_start"),
+                        results[hi].get("host_load1_start"),
                     ],
                 }
             )
@@ -334,10 +338,12 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "headline_rows": nrows,
         "rows_per_sec": round(nrows / elapsed, 1),
-        # host load from OTHER tenants when the run started — the sandbox
-        # shows bursty external contention that can halve throughput;
-        # compare numbers only at similar load
-        "host_load1": round(os.getloadavg()[0], 1),
+        # host load from OTHER tenants: start = before our Ray processes
+        # existed (pure external), end = includes our own workers. The
+        # sandbox shows bursty external contention that can halve
+        # throughput; compare numbers only at similar start load
+        "host_load1_start": round(_LOAD_AT_START, 1),
+        "host_load1_end": round(os.getloadavg()[0], 1),
     }
     if not args.headline_only:
         pbf_runs = [run_pbf_decode() for _ in range(2)]
