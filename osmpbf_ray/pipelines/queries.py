@@ -925,7 +925,14 @@ def q_relation_resolve(sf_dir: str):
     )
 
     def cast_blocks(batch: pa.Table) -> pa.Table:
-        return batch.cast(_schema.REL_BLOCKS_SCHEMA)
+        # synthesized blocks carry no Info/date_granularity — null-fill
+        cols = [
+            batch.column(f.name).cast(f.type)
+            if f.name in batch.schema.names
+            else pa.nulls(batch.num_rows, type=f.type)
+            for f in _schema.REL_BLOCKS_SCHEMA
+        ]
+        return pa.Table.from_arrays(cols, schema=_schema.REL_BLOCKS_SCHEMA)
 
     rels = rel_blocks.map_batches(cast_blocks, batch_format="pyarrow").map_batches(
         decode.decode_relation_blocks, batch_format="pyarrow", zero_copy_batch=True

@@ -28,6 +28,20 @@ INFO_STRUCT = pa.struct(
     ]
 )
 
+# Undecoded per-element Info as parsed off the wire (osmformat.proto:152-162):
+# user is still a string-table index (user_sid) and timestamp is still in
+# date_granularity units — the decode stage resolves both into INFO_STRUCT.
+RAW_INFO_STRUCT = pa.struct(
+    [
+        ("version", pa.int32()),
+        ("timestamp", pa.int64()),
+        ("changeset", pa.int64()),
+        ("uid", pa.int32()),
+        ("user_sid", pa.int32()),
+        ("visible", pa.bool_()),
+    ]
+)
+
 # Tags: the reference stores string-table indices (osmformat.proto:129-137);
 # we store resolved key/value pairs. list<struct> rather than map<> because
 # pandas/duckdb round-trips of map columns are lossy.
@@ -155,6 +169,8 @@ WAY_BLOCKS_SCHEMA = pa.schema(
         ("granularity", pa.int32()),
         ("lat_offset", pa.int64()),
         ("lon_offset", pa.int64()),
+        ("date_granularity", pa.int32()),
+        ("info", RAW_INFO_STRUCT),  # null when the file carries no way Info
     ]
 )
 
@@ -168,6 +184,8 @@ REL_BLOCKS_SCHEMA = pa.schema(
         ("keys", pa.list_(pa.int32())),
         ("vals", pa.list_(pa.int32())),
         ("stringtable", pa.list_(pa.binary())),
+        ("date_granularity", pa.int32()),
+        ("info", RAW_INFO_STRUCT),
     ]
 )
 

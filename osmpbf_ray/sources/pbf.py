@@ -47,8 +47,11 @@ MAX_BLOB_MESSAGE_SIZE = 32 * 1024 * 1024  # src/blob.rs:18
 
 def scan_blobs(path: str) -> list[dict]:
     """Header-only scan: one descriptor per blob, no payload decode."""
+    import os
+
     out = []
     with open(path, "rb") as f:
+        file_size = os.fstat(f.fileno()).st_size
         while True:
             head = f.read(4)
             if len(head) == 0:
@@ -63,6 +66,13 @@ def scan_blobs(path: str) -> list[dict]:
                 raise ValueError("truncated BlobHeader")
             btype, datasize = _parse_blob_header(header)
             offset = f.tell()
+            # seeking past EOF succeeds silently, so a truncated final
+            # payload must be caught against the real file size here
+            if offset + datasize > file_size:
+                raise ValueError(
+                    f"truncated blob payload at offset {offset}: "
+                    f"needs {datasize} bytes, file has {file_size - offset}"
+                )
             out.append({"path": path, "offset": offset, "datasize": datasize, "type": btype})
             f.seek(datasize, 1)
 
@@ -95,7 +105,14 @@ def decode_blob(buf, copy: bool = True):
         elif field == 3 and wire == w.WIRE_LEN:  # zlib_data
             if raw_size is not None and raw_size > MAX_BLOB_MESSAGE_SIZE:
                 raise ValueError("blob exceeds max uncompressed size")
-            raw = zlib.decompress(bytes(val), bufsize=raw_size or 2**20)
+            # bound decompression WHILE streaming (the reference wraps the
+            # decoder in .take(MAX), src/blob.rs:464): a crafted blob with
+            # an absent/understated raw_size must not expand unbounded in
+            # memory before a post-hoc length check
+            dec = zlib.decompressobj()
+            raw = dec.decompress(bytes(val), MAX_BLOB_MESSAGE_SIZE + 1)
+            if len(raw) > MAX_BLOB_MESSAGE_SIZE or dec.unconsumed_tail:
+                raise ValueError("blob exceeds max uncompressed size")
         elif field in (4, 5, 6, 7) and wire == w.WIRE_LEN:
             raise ValueError("unsupported blob compression (lzma/bzip2/lz4/zstd)")
     if raw is None:
@@ -253,11 +270,11 @@ def _parse_info(buf) -> dict:
         if f == 1:
             out["version"] = _plain_int(v)
         elif f == 2:
-            out["timestamp"] = v
+            out["timestamp"] = _plain_int(v)  # proto int64: two's complement
         elif f == 3:
-            out["changeset"] = v
+            out["changeset"] = _plain_int(v)
         elif f == 4:
-            out["uid"] = v
+            out["uid"] = _plain_int(v)  # proto int32
         elif f == 5:
             out["user_sid"] = v
         elif f == 6:
@@ -292,14 +309,18 @@ def _parse_node(buf) -> dict:
 def _parse_way(buf) -> dict:
     out = {"id": 0, "keys": np.empty(0, np.int32), "vals": np.empty(0, np.int32),
            "refs_delta": np.empty(0, np.int64), "lat_delta": np.empty(0, np.int64),
-           "lon_delta": np.empty(0, np.int64)}
+           "lon_delta": np.empty(0, np.int64), "info": None}
     for f, ww, v in w.iter_fields(buf):
         if f == 1 and ww == w.WIRE_VARINT:
-            out["id"] = v
+            out["id"] = _plain_int(v)  # proto int64, plain varint
         elif f == 2 and ww == w.WIRE_LEN:
             out["keys"] = _packed_uvals(v).astype(np.int32)
         elif f == 3 and ww == w.WIRE_LEN:
             out["vals"] = _packed_uvals(v).astype(np.int32)
+        elif f == 4 and ww == w.WIRE_LEN:
+            # Info on ways (osmformat.proto:229; reference exposes it per
+            # element, /root/reference/src/elements.rs:200-206)
+            out["info"] = _parse_info(v)
         elif f == 8 and ww == w.WIRE_LEN:
             out["refs_delta"] = _packed_svals(v)
         elif f == 9 and ww == w.WIRE_LEN:
@@ -312,14 +333,17 @@ def _parse_way(buf) -> dict:
 def _parse_relation(buf) -> dict:
     out = {"id": 0, "keys": np.empty(0, np.int32), "vals": np.empty(0, np.int32),
            "roles_sid": np.empty(0, np.int32), "memids_delta": np.empty(0, np.int64),
-           "types": np.empty(0, np.int8)}
+           "types": np.empty(0, np.int8), "info": None}
     for f, ww, v in w.iter_fields(buf):
         if f == 1 and ww == w.WIRE_VARINT:
-            out["id"] = v
+            out["id"] = _plain_int(v)  # proto int64, plain varint
         elif f == 2 and ww == w.WIRE_LEN:
             out["keys"] = _packed_uvals(v).astype(np.int32)
         elif f == 3 and ww == w.WIRE_LEN:
             out["vals"] = _packed_uvals(v).astype(np.int32)
+        elif f == 4 and ww == w.WIRE_LEN:
+            # Info on relations (osmformat.proto:248, elements.rs:303-309)
+            out["info"] = _parse_info(v)
         elif f == 8 and ww == w.WIRE_LEN:
             out["roles_sid"] = _packed_uvals(v).view(np.int64).astype(np.int32)
         elif f == 9 and ww == w.WIRE_LEN:
@@ -455,6 +479,8 @@ def way_block_rows(block_id: int, pb: dict) -> list[dict]:
                     "granularity": pb["granularity"],
                     "lat_offset": pb["lat_offset"],
                     "lon_offset": pb["lon_offset"],
+                    "date_granularity": pb["date_granularity"],
+                    "info": wy["info"],
                 }
             )
     return rows
@@ -474,6 +500,8 @@ def relation_block_rows(block_id: int, pb: dict) -> list[dict]:
                     "keys": rel["keys"],
                     "vals": rel["vals"],
                     "stringtable": pb["stringtable"],
+                    "date_granularity": pb["date_granularity"],
+                    "info": rel["info"],
                 }
             )
     return rows
@@ -687,9 +715,9 @@ class StringTableBuilder:
         return b"".join(w.field_len(1, s) for s in self.strings)
 
 
-def _encode_dense_info(infos: list[dict]) -> bytes:
+def _encode_dense_info(infos: list[dict], date_granularity: int = 1000) -> bytes:
     version = np.array([i["version"] for i in infos], dtype=np.int64).view(np.uint64)
-    ts = np.array([i["timestamp_ms"] // 1000 for i in infos], dtype=np.int64)
+    ts = np.array([i["timestamp_ms"] // date_granularity for i in infos], dtype=np.int64)
     cs = np.array([i["changeset"] for i in infos], dtype=np.int64)
     uid = np.array([i["uid"] for i in infos], dtype=np.int64)
     usid = np.array([i["user_sid"] for i in infos], dtype=np.int64)
@@ -704,16 +732,21 @@ def _encode_dense_info(infos: list[dict]) -> bytes:
 
 
 def _node_rows_to_group(nodes: list[dict], st: StringTableBuilder, dense: bool,
-                        granularity: int) -> bytes:
-    """Canonical node dicts → one PrimitiveGroup (dense or plain)."""
+                        granularity: int, lat_offset: int = 0, lon_offset: int = 0,
+                        date_granularity: int = 1000) -> bytes:
+    """Canonical node dicts → one PrimitiveGroup (dense or plain).
+
+    Stored units invert the reader's ``nano = offset + granularity *
+    stored`` (src/elements.rs:89-91), so offset-bearing files roundtrip
+    coordinates exactly."""
     for nd in nodes:
         nd["_kv"] = [(st.add(t["key"]), st.add(t["value"])) for t in (nd.get("tags") or [])]
         info = nd.get("info")
         if info is not None:
             nd["_info"] = dict(info)
             nd["_info"]["user_sid"] = st.add(info.get("user") or "")
-    stored_lat = np.array([nd["nano_lat"] // granularity for nd in nodes], dtype=np.int64)
-    stored_lon = np.array([nd["nano_lon"] // granularity for nd in nodes], dtype=np.int64)
+    stored_lat = np.array([(nd["nano_lat"] - lat_offset) // granularity for nd in nodes], dtype=np.int64)
+    stored_lon = np.array([(nd["nano_lon"] - lon_offset) // granularity for nd in nodes], dtype=np.int64)
     ids = np.array([nd["id"] for nd in nodes], dtype=np.int64)
     if dense:
         kv = []
@@ -723,7 +756,7 @@ def _node_rows_to_group(nodes: list[dict], st: StringTableBuilder, dense: bool,
         body = w.field_packed_svarints(1, np.diff(ids, prepend=0))
         infos = [nd.get("_info") for nd in nodes]
         if all(i is not None for i in infos):
-            body += w.field_len(5, _encode_dense_info(infos))
+            body += w.field_len(5, _encode_dense_info(infos, date_granularity))
         body += w.field_packed_svarints(8, np.diff(stored_lat, prepend=0))
         body += w.field_packed_svarints(9, np.diff(stored_lon, prepend=0))
         if any(nd["_kv"] for nd in nodes):
@@ -744,14 +777,28 @@ def _node_rows_to_group(nodes: list[dict], st: StringTableBuilder, dense: bool,
     return group
 
 
-def _encode_info(info: dict) -> bytes:
-    out = w.field_varint(1, info.get("version", -1) & 0xFFFFFFFFFFFFFFFF)
-    out += w.field_varint(2, info.get("timestamp_ms", 0) // 1000)
-    out += w.field_varint(3, info.get("changeset", 0))
-    out += w.field_varint(4, info.get("uid", 0))
+_U64 = 0xFFFFFFFFFFFFFFFF  # plain-varint two's complement for proto int32/int64
+
+
+def _encode_info(info: dict, date_granularity: int = 1000) -> bytes:
+    out = w.field_varint(1, info.get("version", -1) & _U64)
+    out += w.field_varint(2, (info.get("timestamp_ms", 0) // date_granularity) & _U64)
+    out += w.field_varint(3, info.get("changeset", 0) & _U64)
+    out += w.field_varint(4, info.get("uid", 0) & _U64)
     out += w.field_varint(5, info.get("user_sid", 0))
     out += w.field_varint(6, 1 if info.get("visible", True) else 0)
     return out
+
+
+def _element_info_field(el: dict, st: StringTableBuilder, date_granularity: int) -> bytes:
+    """Optional Info (field 4) for ways/relations — user interns into the
+    block string table like node info does."""
+    info = el.get("info")
+    if info is None:
+        return b""
+    enc = dict(info)
+    enc["user_sid"] = st.add(info.get("user") or "")
+    return w.field_len(4, _encode_info(enc, date_granularity))
 
 
 def _tags_fields(tags, st: StringTableBuilder) -> bytes:
@@ -762,23 +809,28 @@ def _tags_fields(tags, st: StringTableBuilder) -> bytes:
     return w.field_packed_uvarints(2, keys) + w.field_packed_uvarints(3, vals)
 
 
-def _way_to_msg(way: dict, st: StringTableBuilder, granularity: int) -> bytes:
-    msg = w.field_varint(1, way["id"])
+def _way_to_msg(way: dict, st: StringTableBuilder, granularity: int,
+                lat_offset: int = 0, lon_offset: int = 0,
+                date_granularity: int = 1000) -> bytes:
+    msg = w.field_varint(1, way["id"] & _U64)
     msg += _tags_fields(way.get("tags"), st)
+    msg += _element_info_field(way, st, date_granularity)
     refs = np.asarray(way["refs"], dtype=np.int64)
     msg += w.field_packed_svarints(8, np.diff(refs, prepend=0))
     locs = way.get("locations")
     if locs:
-        lat = np.array([p["nano_lat"] // granularity for p in locs], dtype=np.int64)
-        lon = np.array([p["nano_lon"] // granularity for p in locs], dtype=np.int64)
+        lat = np.array([(p["nano_lat"] - lat_offset) // granularity for p in locs], dtype=np.int64)
+        lon = np.array([(p["nano_lon"] - lon_offset) // granularity for p in locs], dtype=np.int64)
         msg += w.field_packed_svarints(9, np.diff(lat, prepend=0))
         msg += w.field_packed_svarints(10, np.diff(lon, prepend=0))
     return w.field_len(3, msg)
 
 
-def _relation_to_msg(rel: dict, st: StringTableBuilder) -> bytes:
-    msg = w.field_varint(1, rel["id"])
+def _relation_to_msg(rel: dict, st: StringTableBuilder,
+                     date_granularity: int = 1000) -> bytes:
+    msg = w.field_varint(1, rel["id"] & _U64)
     msg += _tags_fields(rel.get("tags"), st)
+    msg += _element_info_field(rel, st, date_granularity)
     members = rel.get("members") or []
     if members:
         roles = np.array([st.add(m["role"]) for m in members], dtype=np.uint64)
@@ -799,6 +851,9 @@ def write_pbf(
     compress: str = "zlib",
     dense: bool = True,
     granularity: int = 100,
+    lat_offset: int = 0,
+    lon_offset: int = 0,
+    date_granularity: int = 1000,
     nodes_per_block: int = 8000,
     header: dict | None = None,
 ) -> int:
@@ -807,7 +862,10 @@ def write_pbf(
     Engine-new sink (the reference is read-only). ``dense=False`` emits
     plain Node messages, ``compress="raw"`` skips zlib — together they
     produce the reference's three-encoding conformance matrix
-    (tests/read.rs:15-31). Returns the number of blobs written.
+    (tests/read.rs:15-31). All four PrimitiveBlock codec params
+    (granularity / lat_offset / lon_offset / date_granularity,
+    osmformat.proto:108-116) are honored and emitted when non-default.
+    Returns the number of blobs written.
     """
     blobs = 0
     with open(path, "wb") as f:
@@ -827,6 +885,12 @@ def write_pbf(
             block = w.field_len(1, st.encode()) + w.field_len(2, body)
             if granularity != 100:
                 block += w.field_varint(17, granularity)
+            if date_granularity != 1000:
+                block += w.field_varint(18, date_granularity)
+            if lat_offset:
+                block += w.field_varint(19, lat_offset & _U64)
+            if lon_offset:
+                block += w.field_varint(20, lon_offset & _U64)
             f.write(_blob_frame("OSMData", block, compress))
             blobs += 1
 
@@ -834,21 +898,26 @@ def write_pbf(
             rows = nodes.to_pylist()
             for i in range(0, len(rows), nodes_per_block):
                 emit_block(
-                    lambda rs, st: _node_rows_to_group(rs, st, dense, granularity),
+                    lambda rs, st: _node_rows_to_group(
+                        rs, st, dense, granularity, lat_offset, lon_offset, date_granularity
+                    ),
                     rows[i : i + nodes_per_block],
                 )
         if ways is not None and ways.num_rows:
             rows = ways.to_pylist()
             for i in range(0, len(rows), nodes_per_block):
                 emit_block(
-                    lambda rs, st: b"".join(_way_to_msg(r, st, granularity) for r in rs),
+                    lambda rs, st: b"".join(
+                        _way_to_msg(r, st, granularity, lat_offset, lon_offset, date_granularity)
+                        for r in rs
+                    ),
                     rows[i : i + nodes_per_block],
                 )
         if relations is not None and relations.num_rows:
             rows = relations.to_pylist()
             for i in range(0, len(rows), nodes_per_block):
                 emit_block(
-                    lambda rs, st: b"".join(_relation_to_msg(r, st) for r in rs),
+                    lambda rs, st: b"".join(_relation_to_msg(r, st, date_granularity) for r in rs),
                     rows[i : i + nodes_per_block],
                 )
     return blobs

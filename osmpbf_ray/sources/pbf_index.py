@@ -115,17 +115,19 @@ class PbfIndex:
         (range_included, indexed.rs:26-28) — vectorized searchsorted."""
         r = self.id_ranges()
         keys = np.sort(np.asarray(keys, dtype=np.int64))
-        mn = r.column("min_id").to_numpy(zero_copy_only=False)
-        mx = r.column("max_id").to_numpy(zero_copy_only=False)
+        if r.num_rows == 0 or len(keys) == 0:
+            return []
+        # keep EXACT int64: with node-free blobs present the columns are
+        # nullable, and a float64 (NaN-coerced) round-trip loses precision
+        # above 2^53 — mask nulls via the Arrow validity bitmap instead
+        mn_col = r.column("min_id").combine_chunks()
+        valid = pc.is_valid(mn_col).to_numpy(zero_copy_only=False)
+        mn = pc.fill_null(mn_col, 0).to_numpy().astype(np.int64)
+        mx = pc.fill_null(r.column("max_id").combine_chunks(), 0).to_numpy().astype(np.int64)
         offs = r.column("offset").to_numpy()
-        out = []
-        for off, lo, hi in zip(offs, mn, mx):
-            if lo is None or (isinstance(lo, float) and np.isnan(lo)):
-                continue  # node-free blob (ways/relations only)
-            i = np.searchsorted(keys, lo, side="left")
-            if i < len(keys) and keys[i] <= hi:
-                out.append(int(off))
-        return out
+        i = np.searchsorted(keys, mn, side="left")
+        hit = valid & (i < len(keys)) & (keys[np.minimum(i, len(keys) - 1)] <= mx)
+        return [int(o) for o in offs[hit]]
 
     def read_nodes_pruned(self, keys: np.ndarray):
         """Pruned node scan: only blobs whose range intersects ``keys``

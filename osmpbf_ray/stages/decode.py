@@ -240,6 +240,46 @@ def _parallel_tags(batch: pa.Table) -> pa.ListArray:
     )
 
 
+def _resolved_info(batch: pa.Table) -> pa.Array:
+    """RAW_INFO_STRUCT column → INFO_STRUCT: timestamp scales by the
+    block's date_granularity (src/elements.rs:611-614: milliseconds =
+    timestamp * date_granularity) and user_sid resolves through the
+    per-row string table; rows without Info stay null (the reference's
+    ``Option<Info>``, elements.rs:200-206)."""
+    import pyarrow.compute as pc
+
+    info = batch.column("info")
+    if isinstance(info, pa.ChunkedArray):
+        info = info.combine_chunks()
+    if info.null_count == batch.num_rows:
+        return pa.nulls(batch.num_rows, type=schema.INFO_STRUCT)
+    dg = pc.fill_null(batch.column("date_granularity"), 1000).cast(pa.int64()).combine_chunks()
+    ts_ms = pc.multiply_checked(info.field("timestamp"), dg)
+    if isinstance(ts_ms, pa.ChunkedArray):
+        ts_ms = ts_ms.combine_chunks()
+    present = pc.is_valid(info)
+    sids = info.field("user_sid").to_pylist()
+    tables = batch.column("stringtable").to_pylist()
+    users = [
+        (bytes(tables[i][s]).decode("utf-8", "replace") if 0 <= s < len(tables[i]) else "")
+        if s is not None
+        else None
+        for i, s in enumerate(sids)
+    ]
+    return pa.StructArray.from_arrays(
+        [
+            info.field("version"),
+            ts_ms,
+            info.field("changeset"),
+            info.field("uid"),
+            pa.array(users, type=pa.string()),
+            pc.fill_null(info.field("visible"), True),
+        ],
+        names=["version", "timestamp_ms", "changeset", "uid", "user", "visible"],
+        mask=pc.invert(present),
+    )
+
+
 def decode_way_blocks(batch: pa.Table) -> pa.Table:
     """WAY_BLOCKS_SCHEMA rows → WAYS_SCHEMA rows (vectorized).
 
@@ -279,7 +319,7 @@ def decode_way_blocks(batch: pa.Table) -> pa.Table:
             batch.column("id"),
             refs_arr,
             _parallel_tags(batch),
-            pa.nulls(batch.num_rows, type=schema.INFO_STRUCT),
+            _resolved_info(batch),
             locs_arr,
         ],
         schema=schema.WAYS_SCHEMA,
@@ -321,7 +361,7 @@ def decode_relation_blocks(batch: pa.Table) -> pa.Table:
             batch.column("id"),
             members,
             _parallel_tags(batch),
-            pa.nulls(batch.num_rows, type=schema.INFO_STRUCT),
+            _resolved_info(batch),
         ],
         schema=schema.RELATIONS_SCHEMA,
     )

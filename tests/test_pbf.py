@@ -377,3 +377,146 @@ def test_pbf_blocks_lineage_is_byte_offset(tmp_path):
     blocks = pbf.read_pbf_blocks(path).to_pandas()
     descs = {d["offset"] for d in pbf.scan_blobs(path)}
     assert set(blocks["block_id"]) <= descs  # ByteOffset lineage (blob.rs:57)
+
+
+# --- round 3: Way/Relation Info, codec params, wire bounds -------------------
+
+
+def test_way_relation_info_roundtrip(tmp_path):
+    """Info on ways/relations survives write→read (elements.rs:200-206,
+    303-309) — version/timestamp/changeset/uid/user/visible all exact."""
+    path = _write_golden(tmp_path, "zlib", True)
+    ways = pbf.read_pbf_ways(path).to_pandas()
+    wi = ways["info"].iloc[0]
+    assert wi is not None
+    assert wi["version"] == 1 and wi["visible"] is True
+    assert wi["user"] == "testuser"
+    assert wi["timestamp_ms"] == 0 and wi["uid"] == 17
+    rels = pbf.read_pbf_relations(path).to_pandas()
+    ri = rels["info"].iloc[0]
+    assert ri is not None and ri["user"] == "testuser" and ri["version"] == 1
+
+
+def test_way_info_absent_stays_null(tmp_path):
+    """A file without way Info decodes to null info (Option<Info> None)."""
+    path = str(tmp_path / "noinfo.osm.pbf")
+    ways = fixtures.golden_ways().set_column(
+        fixtures.golden_ways().schema.get_field_index("info"),
+        "info",
+        pa.nulls(1, type=schema.INFO_STRUCT),
+    )
+    pbf.write_pbf(path, ways=ways)
+    got = pbf.read_pbf_ways(path).to_pandas()
+    assert got["info"].iloc[0] is None
+
+
+def test_way_history_visibility(tmp_path):
+    """History files mark deleted WAYS too: visible=false on way Info
+    survives the container (the reference reads Info on every element)."""
+    path = str(tmp_path / "wayhist.osm.pbf")
+    rows = [
+        {"id": 9, "refs": [1, 2], "tags": [], "locations": None,
+         "info": fixtures._info(version=1, visible=False)},
+        {"id": 9, "refs": [1, 2, 3], "tags": [], "locations": None,
+         "info": fixtures._info(version=2, visible=True)},
+    ]
+    pbf.write_pbf(path, ways=pa.Table.from_pylist(rows, schema=schema.WAYS_SCHEMA),
+                  header={"required_features": ["OsmSchema-V0.6", "HistoricalInformation"]})
+    got = pbf.read_pbf_ways(path).to_pandas()
+    by_ver = {i["version"]: i["visible"] for i in got["info"]}
+    assert by_ver == {1: False, 2: True}
+
+
+def test_codec_params_roundtrip(tmp_path):
+    """granularity + lat/lon offsets + date_granularity all non-default:
+    nano coordinates and timestamps survive write→read EXACTLY
+    (osmformat.proto:108-116 default handling)."""
+    path = str(tmp_path / "offsets.osm.pbf")
+    gran, lat_off, lon_off, dgran = 1000, 5_000, -7_000, 2000
+    # nano values chosen ≡ offset (mod granularity) so encoding is exact
+    rows = [
+        {"id": 1, "lat": 0.0, "lon": 0.0, "nano_lat": lat_off + 12_000,
+         "nano_lon": lon_off - 34_000, "tags": [],
+         "info": fixtures._info(timestamp_ms=1_234_568_000)},
+        {"id": 2, "lat": 0.0, "lon": 0.0, "nano_lat": lat_off - 8_000,
+         "nano_lon": lon_off + 91_000, "tags": [],
+         "info": fixtures._info(timestamp_ms=-44_000)},  # pre-1970
+    ]
+    nodes = pa.Table.from_pylist(rows, schema=schema.NODES_SCHEMA)
+    pbf.write_pbf(path, nodes=nodes, granularity=gran, lat_offset=lat_off,
+                  lon_offset=lon_off, date_granularity=dgran)
+    got = pbf.read_pbf_nodes(path).to_pandas().sort_values("id")
+    assert got["nano_lat"].tolist() == [lat_off + 12_000, lat_off - 8_000]
+    assert got["nano_lon"].tolist() == [lon_off - 34_000, lon_off + 91_000]
+    assert [i["timestamp_ms"] for i in got["info"]] == [1_234_568_000, -44_000]
+    # ways with LocationsOnWays honor the offsets too
+    wpath = str(tmp_path / "offsets_ways.osm.pbf")
+    wrows = [{"id": 7, "refs": [1, 2], "tags": [], "info": None,
+              "locations": [{"nano_lat": lat_off + 12_000, "nano_lon": lon_off - 34_000},
+                            {"nano_lat": lat_off - 8_000, "nano_lon": lon_off + 91_000}]}]
+    pbf.write_pbf(wpath, ways=pa.Table.from_pylist(wrows, schema=schema.WAYS_SCHEMA),
+                  granularity=gran, lat_offset=lat_off, lon_offset=lon_off)
+    wgot = pbf.read_pbf_ways(wpath).to_pandas()
+    assert [l["nano_lat"] for l in wgot["locations"].iloc[0]] == [lat_off + 12_000, lat_off - 8_000]
+
+
+def test_negative_int64_ids_roundtrip(tmp_path):
+    """proto int64 negatives are 10-byte two's-complement varints: way and
+    relation ids (and info timestamp/changeset) decode via _plain_int."""
+    path = str(tmp_path / "neg.osm.pbf")
+    wrows = [{"id": -42, "refs": [1, 2], "tags": [],
+              "info": fixtures._info(changeset=-3), "locations": None}]
+    rrows = [{"id": -99, "members": [{"role": "r", "member_id": 1,
+                                      "member_type": schema.MEMBER_NODE}],
+              "tags": [], "info": None}]
+    pbf.write_pbf(path,
+                  ways=pa.Table.from_pylist(wrows, schema=schema.WAYS_SCHEMA),
+                  relations=pa.Table.from_pylist(rrows, schema=schema.RELATIONS_SCHEMA))
+    ways = pbf.read_pbf_ways(path).to_pandas()
+    assert ways["id"].tolist() == [-42]
+    assert ways["info"].iloc[0]["changeset"] == -3
+    rels = pbf.read_pbf_relations(path).to_pandas()
+    assert rels["id"].tolist() == [-99]
+
+
+def test_truncated_final_blob_raises(tmp_path):
+    """A truncated final payload fails the SCAN (not silently later):
+    offset+datasize is validated against the file size."""
+    path = _write_golden(tmp_path, "zlib", True)
+    size = len(open(path, "rb").read())
+    with open(path, "r+b") as f:
+        f.truncate(size - 10)
+    with pytest.raises(ValueError, match="truncated blob payload"):
+        pbf.scan_blobs(path)
+
+
+def test_zlib_decompression_bounded():
+    """A zlib bomb with an ABSENT raw_size must not expand unbounded in
+    memory: decompression is capped while streaming (blob.rs:464)."""
+    import zlib as _z
+
+    bomb = _z.compress(b"\x00" * (40 * 1024 * 1024))  # 40 MiB > 32 MiB cap
+    blob = w.field_len(3, bomb)  # no raw_size field at all
+    with pytest.raises(ValueError, match="max uncompressed size"):
+        pbf.decode_blob(blob)
+
+
+def test_prune_offsets_exact_above_2_53(tmp_path):
+    """Zone-map pruning stays EXACT for ids above 2^53 even when node-free
+    blobs make min/max nullable (no float64 NaN coercion)."""
+    from osmpbf_ray.sources.pbf_index import PbfIndex
+
+    path = _write_golden(tmp_path, "zlib", True)
+    idx = PbfIndex(path)
+    big = (1 << 60) + 1  # not representable in float64
+    idx._ranges = pa.table({
+        "offset": pa.array([10, 20, 30], type=pa.int64()),
+        "min_id": pa.array([big, None, 5], type=pa.int64()),
+        "max_id": pa.array([big, None, 9], type=pa.int64()),
+        "n_nodes": pa.array([1, 0, 3], type=pa.int64()),
+    })
+    # float64(big) == float64(big+1): a NaN/float path would FALSELY prune
+    assert idx.prune_offsets(np.array([big])) == [10]
+    assert idx.prune_offsets(np.array([big + 1])) == []
+    assert idx.prune_offsets(np.array([7])) == [30]
+    assert idx.prune_offsets(np.array([], dtype=np.int64)) == []
