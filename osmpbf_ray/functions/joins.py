@@ -114,7 +114,7 @@ def broadcast_lookup_join(ds, small: pa.Table, key: str, how: str = "inner"):
     return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def resolve_way_locations(ways_ds, nodes_ds, n_buckets: int = 64):
+def resolve_way_locations(ways_ds, nodes_ds, n_buckets: int | None = None):
     """ways × nodes on ``refs`` — the geometry-resolution join.
 
     The reference models this as the id-based FK ways→nodes
@@ -162,30 +162,56 @@ def partitioned_hash_join(
     left_ds,
     right_ds,
     key: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     how: str = "inner",
     suffix: str = "_r",
     hot_keys: "np.ndarray | None" = None,
     n_salt: int = 8,
 ):
-    """Explicit partitioned hash join (both sides large).
+    """Explicit partitioned hash join (both sides large), Arrow end-to-end.
 
     Partitioning assumption: both sides are bucketed by the SAME
     ``hash(key) % n_buckets``; each bucket's pair joins independently
-    inside ``map_groups`` (pandas merge per bucket).
+    inside ``map_groups``. ``n_buckets=None`` sizes the fan-out from the
+    inputs (rows / target, floor 64 — see functions.partitioning) so
+    per-bucket memory stays bounded at any input size.
+
+    Per bucket the match is an acero hash join of the two KEY+ROW-INDEX
+    projections, then a ``take`` of each side's payload by the matched
+    indices (null index → null row for outer joins). This supports
+    arbitrary payload types — acero rejects list/struct NON-KEY columns,
+    but a take does not — and never round-trips through pandas (the old
+    pandas ``merge`` NaN-upcast + dtype-repair machinery is gone).
 
     Skew: pass ``hot_keys`` (e.g. the top keys from a count sample) to
     SALT them — a hot key's LEFT rows spread across ``n_salt``
     sub-buckets (salt = row position hash) while its RIGHT rows
     REPLICATE into all ``n_salt`` sub-buckets, so no single reducer
     receives the whole hot key. Join results are identical; only the
-    placement changes.
+    placement changes. Salting is only valid for inner/left joins: a
+    replicated unmatched RIGHT row would be emitted once per sub-bucket
+    under right/outer semantics, so those raise.
     """
     import ray
 
+    from osmpbf_ray.functions.partitioning import sized_fanout
+
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
     hot_ref = None
     if hot_keys is not None and len(hot_keys):
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"hot_keys salting requires how='inner'/'left' (got {how!r}): "
+                "replicated right-side hot rows would duplicate unmatched-right output"
+            )
         hot_ref = ray.put(np.unique(np.asarray(hot_keys)))
+    if n_buckets is None:
+        n_buckets = max(sized_fanout(left_ds), sized_fanout(right_ds))
 
     def bucket_left(b: pa.Table) -> pa.Table:
         b = add_bucket_column(b, key, n_buckets)
@@ -224,17 +250,6 @@ def partitioned_hash_join(
             )
         return pa.concat_tables(parts)
 
-    lb = left_ds.map_batches(bucket_left, batch_format="pyarrow")
-    rb = right_ds.map_batches(bucket_right, batch_format="pyarrow")
-    tagged_l = lb.map_batches(
-        lambda b: b.append_column("__side", pa.array(np.zeros(b.num_rows, dtype=np.int8))),
-        batch_format="pyarrow",
-    )
-    tagged_r = rb.map_batches(
-        lambda b: b.append_column("__side", pa.array(np.ones(b.num_rows, dtype=np.int8))),
-        batch_format="pyarrow",
-    )
-
     def as_arrow_schema(ds_schema) -> pa.Schema:
         base = ds_schema.base_schema
         if isinstance(base, pa.Schema):
@@ -254,25 +269,73 @@ def partitioned_hash_join(
     lschema = as_arrow_schema(left_ds.schema())
     rschema = as_arrow_schema(right_ds.schema())
     lcols, rcols = list(lschema.names), list(rschema.names)
-    # original dtypes, to undo pandas' NaN-driven upcasts from the union
-    dtypes = pa.schema(
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols if c != key}
+    rcols_out = [rename[c] for c in rcols if c != key]
+    # ONE schema for both sides through the shuffle: the other side's
+    # columns ride as typed nulls (validity-bitmap-only — cheap), so the
+    # union and the sort shuffle stay Arrow-native end to end
+    unified = pa.schema(
+        [pa.field("bucket", pa.int64()), pa.field("__side", pa.int8())]
+        + [lschema.field(c) for c in lcols]
+        + [rschema.field(c).with_name(rename[c]) for c in rcols if c != key]
+    )
+    out_schema = pa.schema(
         [lschema.field(c) for c in lcols]
-        + [
-            rschema.field(c).with_name(c + suffix if c in lcols and c != key else c)
-            for c in rcols
-            if c != key
-        ]
-    ).empty_table().to_pandas().dtypes.to_dict()
+        + [rschema.field(c).with_name(rename[c]) for c in rcols if c != key]
+    )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == 0][lcols]
-        right = g[g["__side"] == 1][rcols]
-        out = left.merge(right, on=key, how=how, suffixes=("", suffix))
-        for col, dt in dtypes.items():
-            if col in out.columns and out[col].dtype != dt and not out[col].isna().any():
-                out[col] = out[col].astype(dt)
-        return out
+    def align(b: pa.Table, side: int, colmap: dict) -> pa.Table:
+        n = b.num_rows
+        cols = []
+        for f in unified:
+            if f.name == "__side":
+                cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+            elif f.name == "bucket" or colmap.get(f.name) in b.schema.names:
+                src = f.name if f.name == "bucket" else colmap[f.name]
+                col = b.column(src)
+                cols.append(col if col.type == f.type else col.cast(f.type))
+            else:
+                cols.append(pa.nulls(n, type=f.type))
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    lmap = {c: c for c in lcols}
+    rmap = {rename[c]: c for c in rcols if c != key}
+    rmap[key] = key
+    tagged_l = left_ds.map_batches(
+        lambda b: align(bucket_left(b), 0, lmap), batch_format="pyarrow"
+    )
+    tagged_r = right_ds.map_batches(
+        lambda b: align(bucket_right(b), 1, rmap), batch_format="pyarrow"
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0))
+        right = g.filter(pa.array(side == 1))
+        # match on key + row index only; payload moves via take afterwards
+        m = pa.table(
+            {"__k": left.column(key), "__li": np.arange(left.num_rows, dtype=np.int64)}
+        ).join(
+            pa.table(
+                {"__k": right.column(key), "__ri": np.arange(right.num_rows, dtype=np.int64)}
+            ),
+            keys="__k",
+            join_type=join_type,
+        )
+        li, ri = m.column("__li"), m.column("__ri")
+        cols = []
+        for c in lcols:
+            col = left.column(c).take(li)
+            if c == key and how in ("right", "outer"):
+                col = pc.coalesce(col, right.column(key).take(ri))
+            cols.append(col)
+        for c in rcols_out:
+            cols.append(right.column(c).take(ri))
+        return pa.Table.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+            schema=out_schema,
+        )
 
     return tagged_l.union(tagged_r).groupby("bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )

@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from osmpbf_ray.functions import joins, mapreduce
+from osmpbf_ray.functions import joins, mapreduce, partitioning
 from osmpbf_ray.pipelines import flagship as flagship_mod
 from osmpbf_ray.pipelines import spatial_join as sj
 from osmpbf_ray.pipelines import tiles as tiles_mod
@@ -237,12 +237,13 @@ def q_coord_decode(sf_dir: str):
 
 def q_delta_decode(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    n_parts = partitioning.sized_fanout(ds)
 
-    # hash-partition users (user_id % 64) instead of one Ray group per
-    # user: whole user streams co-locate, and the per-user running sum
+    # hash-partition users (input-sized fan-out) instead of one Ray group
+    # per user: whole user streams co-locate, and the per-user running sum
     # is pandas' C-implemented grouped cumsum inside each partition
     def add_pkey(batch: pa.Table) -> pa.Table:
-        pk = (batch.column("user_id").to_numpy() % 64).astype(np.int64)
+        pk = (batch.column("user_id").to_numpy() % n_parts).astype(np.int64)
         return batch.append_column("__pkey", pa.array(pk))
 
     def cumsum_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -485,9 +486,10 @@ def q_sessionize(sf_dir: str):
     gap breaks within each group — the batch form of session windows."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=30)
+    n_parts = partitioning.sized_fanout(ds)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        pk = (batch.column("user_id").to_numpy() % 64).astype(np.int64)
+        pk = (batch.column("user_id").to_numpy() % n_parts).astype(np.int64)
         return batch.append_column("__pkey", pa.array(pk))
 
     def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -886,8 +888,10 @@ def q_relation_resolve(sf_dir: str):
     vocab = [b"", b"A", b"N", b"R"]
     role_of = {"A": 1, "N": 2, "R": 3}
 
+    n_parts = partitioning.sized_fanout(li)
+
     def add_pkey(batch: pa.Table) -> pa.Table:
-        pk = (batch.column("l_orderkey").to_numpy() % 64).astype(np.int64)
+        pk = (batch.column("l_orderkey").to_numpy() % n_parts).astype(np.int64)
         return batch.append_column("__pkey", pa.array(pk))
 
     def to_rel_blocks(g: pd.DataFrame) -> pd.DataFrame:

@@ -153,95 +153,183 @@ def spatial_join(
     return points_ds.map_batches(join_task, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def spatial_join_partitioned(points_ds, polygons_ds, coarse_z: int = 6,
-                             z: int = 12, id_col: str = "image_id"):
+def spatial_join_partitioned(points_ds, polygons_ds, z: int = 12,
+                             id_col: str = "image_id",
+                             n_parts: int | None = None, **_compat):
     """points × polygons when the polygon side is TOO BIG to broadcast.
 
-    The documented fallback of ``spatial_join``: pick ONE partitioning
-    key — the coarse cell — and co-locate both sides on it. Each polygon
-    replicates to every coarse cell its bbox covers (bounded fan-out:
-    cover size at z=6 is small for real footprints); each point lands in
-    exactly one coarse cell, so matches are never duplicated. Within a
-    co-located group a local cell-cover index + ray-cast refine runs
-    exactly like the broadcast path. Output rows: (id, lat, lon, poly_id).
+    Two co-partitioned phases, IDS-ONLY through the wide shuffle (the
+    LSH pair shape — round 2 replicated each polygon's full ring into
+    every covered coarse cell, the widest column times the fan-out):
+
+    * phase 1 (candidates): polygons explode to ``(cell, poly_id)`` at
+      the join cell level — 16 bytes per cover cell; points map to
+      their single cell. Both sides co-locate on ``hash(cell) %
+      n_parts`` and each cell's polys × points cross product emits
+      candidate ``(point, poly_id)`` rows. A point lies in exactly one
+      cell and cover cells are distinct, so a pair arises at most once
+      — no dedup pass.
+    * phase 2 (refine): candidates co-locate with their polygon's RING
+      on ``hash(poly_id) % n_parts`` — the ring ships ONCE per polygon,
+      never per pair — and a vectorized ray-cast PIP keeps true matches.
+
+    Same candidate set and matches as the broadcast ``spatial_join``
+    (equality-tested). Partitioning assumption: one polygon's candidates
+    fit a partition — salt poly_id like the hash join if a single
+    polygon dominates. Output rows: (id, lat, lon, poly_id).
     """
+    from osmpbf_ray.functions.partitioning import sized_fanout
+
+    if n_parts is None:
+        n_parts = max(sized_fanout(points_ds), sized_fanout(polygons_ds))
+    pkey_of = lambda a: (a.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                         % np.uint64(n_parts)).astype(np.int64)
+
+    cand_schema = pa.schema([
+        ("pkey", pa.int64()), ("__side", pa.int8()), ("cell", pa.int64()),
+        ("poly_id", pa.int64()), (id_col, pa.string()),
+        ("lat", pa.float64()), ("lon", pa.float64()),
+    ])
 
     def poly_cover_rows(batch: pa.Table) -> pa.Table:
-        rows = {"ccell": [], "poly_id": [], "ring_lat": [], "ring_lon": []}
+        cells, pids = [], []
         ids = batch.column("poly_id").to_pylist()
         rings = batch.column("ring").to_pylist()
         for pid, ring in zip(ids, rings):
-            rlat = [p["lat"] for p in ring]
-            rlon = [p["lon"] for p in ring]
-            for c in spatial.ring_cell_cover(np.asarray(rlat), np.asarray(rlon), coarse_z):
-                rows["ccell"].append(int(c))
-                rows["poly_id"].append(pid)
-                rows["ring_lat"].append(rlat)
-                rows["ring_lon"].append(rlon)
-        return pa.table(
-            {
-                "ccell": pa.array(rows["ccell"], type=pa.int64()),
-                "poly_id": pa.array(rows["poly_id"], type=pa.int64()),
-                "ring_lat": pa.array(rows["ring_lat"], type=pa.list_(pa.float64())),
-                "ring_lon": pa.array(rows["ring_lon"], type=pa.list_(pa.float64())),
-                "__side": pa.array([1] * len(rows["ccell"]), type=pa.int8()),
-                id_col: pa.array([None] * len(rows["ccell"]), type=pa.string()),
-                "lat": pa.array([None] * len(rows["ccell"]), type=pa.float64()),
-                "lon": pa.array([None] * len(rows["ccell"]), type=pa.float64()),
-            }
+            rlat = np.asarray([p["lat"] for p in ring])
+            rlon = np.asarray([p["lon"] for p in ring])
+            for c in spatial.ring_cell_cover(rlat, rlon, z):
+                cells.append(int(c))
+                pids.append(pid)
+        cells_a = np.asarray(cells, dtype=np.int64)
+        n = len(cells)
+        return pa.Table.from_arrays(
+            [pa.array(pkey_of(cells_a)), pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(cells_a), pa.array(np.asarray(pids, dtype=np.int64)),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.float64()), pa.nulls(n, pa.float64())],
+            schema=cand_schema,
         )
 
     def point_rows(batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy()
         lon = batch.column("lon").to_numpy()
-        ccell = spatial.lonlat_to_cell(lat, lon, coarse_z)
+        cells = spatial.lonlat_to_cell(lat, lon, z).astype(np.int64)
         n = batch.num_rows
-        return pa.table(
-            {
-                "ccell": pa.array(ccell, type=pa.int64()),
-                "poly_id": pa.array([None] * n, type=pa.int64()),
-                "ring_lat": pa.array([None] * n, type=pa.list_(pa.float64())),
-                "ring_lon": pa.array([None] * n, type=pa.list_(pa.float64())),
-                "__side": pa.array(np.zeros(n, dtype=np.int8)),
-                id_col: batch.column(id_col).cast(pa.string()),
-                "lat": batch.column("lat"),
-                "lon": batch.column("lon"),
-            }
+        return pa.Table.from_arrays(
+            [pa.array(pkey_of(cells)), pa.array(np.zeros(n, dtype=np.int8)),
+             pa.array(cells), pa.nulls(n, pa.int64()),
+             batch.column(id_col).cast(pa.string()),
+             batch.column("lat").cast(pa.float64()), batch.column("lon").cast(pa.float64())],
+            schema=cand_schema,
         )
 
     polys = polygons_ds.map_batches(poly_cover_rows, batch_format="pyarrow", zero_copy_batch=True)
     pts = points_ds.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    import pandas as pd
+    pair_schema = pa.schema([
+        (id_col, pa.string()), ("lat", pa.float64()),
+        ("lon", pa.float64()), ("poly_id", pa.int64()),
+    ])
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({id_col: pd.Series(dtype="object"),
-                              "lat": pd.Series(dtype="float64"),
-                              "lon": pd.Series(dtype="float64"),
-                              "poly_id": pd.Series(dtype="int64")})
-        p = g[g["__side"] == 1]
-        q = g[g["__side"] == 0]
-        if not len(p) or not len(q):
-            return empty
-        polys_local = [
-            {"poly_id": int(r.poly_id),
-             "ring_lat": np.asarray(list(r.ring_lat)),
-             "ring_lon": np.asarray(list(r.ring_lon))}
-            for r in p.drop_duplicates("poly_id").itertuples()
-        ]
-        index = PolygonIndex(polys_local, z)
-        lat = q["lat"].to_numpy()
-        lon = q["lon"].to_numpy()
-        pts_idx, poly_ids = index.join_batch(lat, lon)
-        if not len(pts_idx):
-            return empty
-        sel = q.iloc[pts_idx]
-        return pd.DataFrame({id_col: sel[id_col].to_numpy(),
-                             "lat": sel["lat"].to_numpy(),
-                             "lon": sel["lon"].to_numpy(),
-                             "poly_id": poly_ids})
+    def candidates_group(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        cells = g.column("cell").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, cells))
+        cells_s, side_s = cells[order], side[order]
+        bounds = np.flatnonzero(np.diff(cells_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cells_s)]])
+        take_pt, rep_poly = [], []
+        pids = g.column("poly_id").to_numpy(zero_copy_only=False)
+        for s, e in zip(starts, ends):
+            seg = order[s:e]
+            pt_rows = seg[side_s[s:e] == 0]
+            po_rows = seg[side_s[s:e] == 1]
+            if len(pt_rows) == 0 or len(po_rows) == 0:
+                continue
+            take_pt.append(np.repeat(pt_rows, len(po_rows)))
+            rep_poly.append(np.tile(pids[po_rows], len(pt_rows)))
+        if not take_pt:
+            return pair_schema.empty_table()
+        idx = np.concatenate(take_pt)
+        sel = g.select([id_col, "lat", "lon"]).take(pa.array(idx))
+        return sel.append_column(
+            "poly_id", pa.array(np.concatenate(rep_poly).astype(np.int64))
+        ).cast(pair_schema)
 
-    return polys.union(pts).groupby("ccell").map_groups(join_group, batch_format="pandas")
+    candidates = polys.union(pts).groupby("pkey").map_groups(
+        candidates_group, batch_format="pyarrow"
+    )
+
+    refine_schema = pa.schema([
+        ("pkey", pa.int64()), ("__side", pa.int8()), ("poly_id", pa.int64()),
+        (id_col, pa.string()), ("lat", pa.float64()), ("lon", pa.float64()),
+        ("ring_lat", pa.list_(pa.float64())), ("ring_lon", pa.list_(pa.float64())),
+    ])
+
+    def ring_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("poly_id").to_pylist()
+        rings = batch.column("ring").to_pylist()
+        rlat = [[p["lat"] for p in ring] for ring in rings]
+        rlon = [[p["lon"] for p in ring] for ring in rings]
+        pid = np.asarray(ids, dtype=np.int64)
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [pa.array(pkey_of(pid)), pa.array(np.ones(n, dtype=np.int8)), pa.array(pid),
+             pa.nulls(n, pa.string()), pa.nulls(n, pa.float64()), pa.nulls(n, pa.float64()),
+             pa.array(rlat, type=pa.list_(pa.float64())), pa.array(rlon, type=pa.list_(pa.float64()))],
+            schema=refine_schema,
+        )
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        pid = batch.column("poly_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [pa.array(pkey_of(pid)), pa.array(np.zeros(n, dtype=np.int8)),
+             batch.column("poly_id"), batch.column(id_col),
+             batch.column("lat"), batch.column("lon"),
+             pa.nulls(n, pa.list_(pa.float64())), pa.nulls(n, pa.list_(pa.float64()))],
+            schema=refine_schema,
+        )
+
+    rings = polygons_ds.map_batches(ring_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cands = candidates.map_batches(cand_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def refine_group(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        pids = g.column("poly_id").to_numpy(zero_copy_only=False)
+        poly_rows = np.flatnonzero(side == 1)
+        ring_of = {}
+        rl = g.column("ring_lat")
+        rn = g.column("ring_lon")
+        for i in poly_rows:
+            ring_of[int(pids[i])] = (
+                np.asarray(rl[int(i)].as_py(), dtype=np.float64),
+                np.asarray(rn[int(i)].as_py(), dtype=np.float64),
+            )
+        cand_rows_idx = np.flatnonzero(side == 0)
+        if len(cand_rows_idx) == 0 or not ring_of:
+            return pair_schema.empty_table()
+        lat = g.column("lat").to_numpy(zero_copy_only=False)[cand_rows_idx]
+        lon = g.column("lon").to_numpy(zero_copy_only=False)[cand_rows_idx]
+        cpid = pids[cand_rows_idx]
+        order = np.argsort(cpid, kind="stable")
+        bounds = np.flatnonzero(np.diff(cpid[order])) + 1
+        keep = []
+        for seg in np.split(order, bounds):
+            ring = ring_of.get(int(cpid[seg[0]]))
+            if ring is None:
+                continue
+            inside = spatial.points_in_ring(lat[seg], lon[seg], ring[0], ring[1])
+            keep.append(seg[inside])
+        if not keep:
+            return pair_schema.empty_table()
+        idx = cand_rows_idx[np.concatenate(keep)]
+        return g.select([id_col, "lat", "lon", "poly_id"]).take(pa.array(idx)).cast(pair_schema)
+
+    return rings.union(cands).groupby("pkey").map_groups(
+        refine_group, batch_format="pyarrow"
+    )
 
 
 class KnnStage:

@@ -52,15 +52,30 @@ def add_md5_column(batch: pa.Table, text_col: str = "text", out_col: str = "text
     return batch.append_column(out_col, pa.array(md5_hex(batch.column(text_col).to_pylist())))
 
 
-def exact_dedup(ds, key_col: str, order_col: str, n_parts: int = 64):
+def _fanout_for(ds, multiplier: int = 1) -> int:
+    """Input-sized fan-out: plan-metadata row count × a known expansion
+    factor (e.g. LSH band explosion), floor 64 when the plan can't say."""
+    from osmpbf_ray.functions.partitioning import sized_fanout
+
+    try:
+        rows = ds._meta_count()
+    except Exception:
+        rows = None
+    return sized_fanout(None if rows is None else rows * multiplier)
+
+
+def exact_dedup(ds, key_col: str, order_col: str, n_parts: int | None = None):
     """Keep the first row (min order_col) per key — hash-partitioned.
 
     Shuffles on ``hash(key) % n_parts`` (duplicates co-locate because
     they share the key), then one vectorized sort + ``drop_duplicates``
     per partition. Keying the groupby on the content hash itself would
     pay per-group Python orchestration for every DISTINCT key — at
-    dedup scale that is nearly every row.
+    dedup scale that is nearly every row. ``n_parts=None`` sizes the
+    fan-out from the input so per-partition memory stays bounded.
     """
+    if n_parts is None:
+        n_parts = _fanout_for(ds)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -189,7 +204,7 @@ def _combine_keys(*cols: np.ndarray) -> np.ndarray:
 
 
 def _bucketed_pairs(exploded, key_cols: list[str], id_col: str,
-                    pair_fn, empty_fn, extra_cols: tuple = (), n_parts: int = 64):
+                    pair_fn, empty_fn, extra_cols: tuple = (), n_parts: int | None = None):
     """Per-bucket pair expansion with ONE Ray group per HASH PARTITION.
 
     A ``map_groups`` per LSH bucket is Python-call-bound (most buckets
@@ -199,8 +214,11 @@ def _bucketed_pairs(exploded, key_cols: list[str], id_col: str,
     partitioning assumption: all rows of one bucket share a pkey — and
     each partition expands its buckets in a numpy segment loop that
     skips singletons for free. ``pair_fn(ids, extras) -> DataFrame``
-    runs only on buckets with ≥ 2 rows.
+    runs only on buckets with ≥ 2 rows. ``n_parts=None`` sizes the
+    fan-out from the exploded input (floor 64).
     """
+    if n_parts is None:
+        n_parts = _fanout_for(exploded)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -244,7 +262,7 @@ def _candidate_pairs_empty() -> pd.DataFrame:
                          "id_b": pd.Series(dtype="int64")})
 
 
-def _dedup_pairs(pairs_ds, cols: list[str] | None = None, n_parts: int = 64):
+def _dedup_pairs(pairs_ds, cols: list[str] | None = None, n_parts: int | None = None):
     """Distinct pair rows — the same pair can surface from several bands.
 
     Hash-partitioned like ``_bucketed_pairs`` (a groupby keyed directly
@@ -252,6 +270,8 @@ def _dedup_pairs(pairs_ds, cols: list[str] | None = None, n_parts: int = 64):
     64 partition groups + a vectorized ``drop_duplicates`` spend ~2 s).
     """
     cols = cols or ["id_a", "id_b"]
+    if n_parts is None:
+        n_parts = _fanout_for(pairs_ds)
 
     def add_ppkey(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -287,7 +307,10 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
 
     Phase 1: banded LSH on ids only. Phase 2: recompute full signatures
     for the CANDIDATE docs alone (broadcast semi-join on the source) and
-    verify estimated Jaccard by signature agreement.
+    verify by signature agreement — the signatures reach the pair table
+    through DISTRIBUTED hash joins on id_a/id_b, never through a
+    driver-materialized payload dict (round 2 shipped one; on a
+    dup-heavy corpus the candidate bound IS the output size).
     """
     import ray
     import ray.data as rd
@@ -304,7 +327,8 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
                       "est_jaccard": pa.array([], type=pa.float64())})
     pairs = _dedup_pairs(
         _bucketed_pairs(exploded, ["band", "band_hash"], id_col,
-                        _candidate_pair_fn, _candidate_pairs_empty)
+                        _candidate_pair_fn, _candidate_pairs_empty,
+                        n_parts=_fanout_for(ds, n_bands))
     ).materialize()  # consumed by _collect_ids AND the verify stage
     cand_ids = _collect_ids(pairs)
     if len(cand_ids) == 0:
@@ -317,27 +341,47 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
     def sig_rows(batch: pa.Table) -> pa.Table:
         sigs = minhash_signatures(batch.column(text_col).to_pylist(), k, n_perm)
         return pa.table({id_col: batch.column(id_col),
-                         "sig": pa.array(list(sigs.view(np.int64)), type=pa.list_(pa.int64()))})
+                         "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary())})
 
-    sig_tbls = [t for t in ray.get(
-        cand_docs.map_batches(sig_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()) if t.num_rows]
-    sig_tbl = pa.concat_tables(sig_tbls, promote_options="default")
-    sig_map = dict(zip(sig_tbl.column(id_col).to_pylist(),
-                       (np.asarray(s, dtype=np.int64) for s in sig_tbl.column("sig").to_pylist())))
-    sig_ref = ray.put(sig_map)
+    sig_ds = cand_docs.map_batches(
+        sig_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # joined twice (id_a, id_b)
 
     def verify(batch: pa.Table) -> pa.Table:
-        sigs = ray.get(sig_ref)
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        est = np.array(
-            [float((sigs[x] == sigs[y]).mean()) for x, y in zip(a, b)], dtype=np.float64
-        ) if a else np.empty(0)
-        out = batch.append_column("est_jaccard", pa.array(est, type=pa.float64()))
+        if batch.num_rows == 0:
+            return empty
+        sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()),
+                           dtype=np.uint64).reshape(-1, n_perm)
+        sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
+                           dtype=np.uint64).reshape(-1, n_perm)
+        est = (sa == sb).mean(axis=1)
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "est_jaccard", pa.array(est, type=pa.float64())
+        )
         return out.filter(pa.array(est >= threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return _pair_payload_join(pairs, sig_ds, id_col, "sig").map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
+    """Attach a per-id payload column onto a pair table as
+    ``<payload>_a`` / ``<payload>_b`` via two distributed hash joins —
+    the scale-safe verify shape (no driver dict, no broadcast of
+    candidate payloads; the joins co-partition by the pair ids)."""
+    from osmpbf_ray.functions.joins import partitioned_hash_join
+
+    a_side = payload_ds.map_batches(
+        lambda b: b.rename_columns(["id_a", f"{payload_col}_a"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    b_side = payload_ds.map_batches(
+        lambda b: b.rename_columns(["id_b", f"{payload_col}_b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = partitioned_hash_join(pairs_ds, a_side, key="id_a")
+    return partitioned_hash_join(joined, b_side, key="id_b")
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -447,7 +491,8 @@ def hamming_near_dup_pairs(ds, hash_col: str, id_col: str, max_dist: int = 8,
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": dist})
 
     pairs = _bucketed_pairs(exploded, ["band", "band_val"], id_col,
-                            hamming_pair_fn, hamming_empty, extra_cols=(hash_col,))
+                            hamming_pair_fn, hamming_empty, extra_cols=(hash_col,),
+                            n_parts=_fanout_for(ds, n_bands))
     # hamming is a pure function of the pair, identical across bands —
     # distinct over all three columns is a C-path aggregate
     return _dedup_pairs(pairs, ["id_a", "id_b", "hamming"])
@@ -466,47 +511,45 @@ def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
     """Exact n-gram Jaccard verify for candidate pairs.
 
     Fetches ONLY the candidate docs' texts (broadcast semi-join on the
-    candidate id set) — never the whole corpus (round 1 built a
-    driver-side dict of every document text)."""
+    candidate id set), then attaches them to the pair table through
+    distributed hash joins on id_a/id_b — no driver-side text dict at
+    any corpus or candidate size."""
     import ray
 
     from osmpbf_ray.functions.joins import broadcast_semi_join
 
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
     cand_ids = _collect_ids(pairs_ds)
     if len(cand_ids) == 0:
         import ray.data as rd
 
-        return rd.from_arrow(
-            pa.table({"id_a": pa.array([], type=pa.int64()),
-                      "id_b": pa.array([], type=pa.int64()),
-                      "jaccard": pa.array([], type=pa.float64())})
-        )
+        return rd.from_arrow(empty)
     cand_docs = broadcast_semi_join(
         ds.select_columns([id_col, text_col]), id_col, ray.put(cand_ids)
     )
-    texts: dict = {}
-    for b in cand_docs.iter_batches(batch_format="pyarrow"):
-        texts.update(zip(b.column(id_col).to_pylist(), b.column(text_col).to_pylist()))
-    ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        jac = np.array(
+            [
+                jaccard(char_shingle_hashes(str(a or ""), k),
+                        char_shingle_hashes(str(b or ""), k))
+                for a, b in zip(batch.column("text_a").to_pylist(),
+                                batch.column("text_b").to_pylist())
+            ],
+            dtype=np.float64,
+        )
+        out = batch.select(["id_a", "id_b"]).append_column(
+            "jaccard", pa.array(jac, type=pa.float64())
+        )
+        return out.filter(pa.array(jac >= threshold))
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            jac = [
-                jaccard(
-                    char_shingle_hashes(str(self.texts.get(a, "")), k),
-                    char_shingle_hashes(str(self.texts.get(b, "")), k),
-                )
-                for a, b in zip(batch["id_a"], batch["id_b"])
-            ]
-            batch["jaccard"] = jac
-            return batch[batch["jaccard"] >= threshold]
-
-    # candidate pair set is small; a 2-actor pool is plenty and avoids
-    # spinning up workers for a near-empty stage
-    return pairs_ds.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
+    return _pair_payload_join(pairs_ds, cand_docs, id_col, "text").map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # --- embedding cosine near-dup ---------------------------------------------
@@ -586,7 +629,8 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
     )
     pairs = _dedup_pairs(
         _bucketed_pairs(exploded, ["band", "band_key"], id_col,
-                        _candidate_pair_fn, _candidate_pairs_empty)
+                        _candidate_pair_fn, _candidate_pairs_empty,
+                        n_parts=_fanout_for(ds, n_bands))
     ).materialize()  # consumed by _collect_ids AND the verify stage
     cand_ids = _collect_ids(pairs)
     if len(cand_ids) == 0:
@@ -595,26 +639,34 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
     cand_vec_ds = broadcast_semi_join(
         ds.select_columns([id_col, vec_col]), id_col, ray.put(cand_ids)
     )
-    vid, vecs = [], []
-    for b in cand_vec_ds.iter_batches(batch_format="pyarrow"):
-        vid.extend(b.column(id_col).to_pylist())
-        if b.num_rows:
-            vecs.append(vecs_to_numpy(b.column(vec_col)))
-    mat = np.concatenate(vecs) if vecs else np.empty((0, dim))
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    lookup = {i: j for j, i in enumerate(vid)}
-    vec_ref = ray.put((lookup, unit))
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        """Unit vectors as fixed-width float64 binary — the payload the
+        distributed verify joins onto the pair table (no driver matrix)."""
+        mat = vecs_to_numpy(batch.column(vec_col)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pa.table({id_col: batch.column(id_col),
+                         "unit": pa.array([u.tobytes() for u in unit], type=pa.binary())})
+
+    unit_ds = cand_vec_ds.map_batches(
+        unit_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # joined twice (id_a, id_b)
 
     def verify(batch: pa.Table) -> pa.Table:
-        lk, u = ray.get(vec_ref)
-        a = [lk[i] for i in batch.column("id_a").to_pylist()]
-        b = [lk[i] for i in batch.column("id_b").to_pylist()]
-        cos = round_half_away(np.einsum("ij,ij->i", u[a], u[b]), 9) if a else np.empty(0)
+        if batch.num_rows == 0:
+            return empty
+        ua = np.frombuffer(b"".join(batch.column("unit_a").to_pylist()),
+                           dtype=np.float64).reshape(batch.num_rows, -1)
+        ub = np.frombuffer(b"".join(batch.column("unit_b").to_pylist()),
+                           dtype=np.float64).reshape(batch.num_rows, -1)
+        cos = round_half_away(np.einsum("ij,ij->i", ua, ub), 9)
         out = batch.select(["id_a", "id_b"]).append_column(
             "cosine", pa.array(cos, type=pa.float64())
         )
         return out.filter(pa.array(cos >= threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return _pair_payload_join(pairs, unit_ds, id_col, "unit").map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )

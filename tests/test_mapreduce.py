@@ -154,3 +154,67 @@ def test_broadcast_lookup_join():
     assert len(out) == sum((np.arange(1000) % 7 == x).sum() for x in (0, 2, 4))
     assert set(out.columns) == {"k", "v", "name"}
     assert (out[out.k == 2]["name"] == "b").all()
+
+
+def test_partitioned_hash_join_outer_variants():
+    """left/right/outer semantics match pandas merge, Arrow end-to-end,
+    including NESTED payload columns (acero rejects list non-key fields;
+    the index-join + take path does not)."""
+    import pandas as pd
+
+    left = pa.table({"k": [1, 2, 3, 3], "a": [10, 20, 30, 31],
+                     "tags": pa.array([[1], [2, 2], [3], []], type=pa.list_(pa.int64()))})
+    right = pa.table({"k": [2, 3, 4], "b": ["x", "y", "z"]})
+    lp, rp = left.to_pandas(), right.to_pandas()
+    for how, pd_how in [("inner", "inner"), ("left", "left"),
+                        ("right", "right"), ("outer", "outer")]:
+        ds = joins.partitioned_hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", n_buckets=4, how=how
+        )
+        # consume as Arrow: pandas' tensor-extension cast chokes on the
+        # ragged list column, which is exactly what this test exercises
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        out = pa.concat_tables(tbls).to_pylist()
+        exp = lp.merge(rp, on="k", how=pd_how)
+        assert len(out) == len(exp), how
+        key_fn = lambda r: (r["k"] if r["k"] is not None else 10**9,
+                            r["a"] if r["a"] is not None else 10**9)
+        got = sorted(out, key=key_fn)
+        es = sorted(
+            (
+                {"k": None if pd.isna(r.k) else int(r.k),
+                 "a": None if pd.isna(r.a) else int(r.a),
+                 "b": None if pd.isna(r.b) else r.b,
+                 "tags": None if not isinstance(r.tags, (list, np.ndarray)) else list(r.tags)}
+                for r in exp.itertuples()
+            ),
+            key=key_fn,
+        )
+        for g, e in zip(got, es):
+            assert (g["k"], g["a"], g["b"], g["tags"]) == (e["k"], e["a"], e["b"], e["tags"]), how
+
+
+def test_salting_rejected_for_right_outer():
+    left = rd.from_arrow(pa.table({"k": [1], "a": [1]}))
+    right = rd.from_arrow(pa.table({"k": [2], "b": [2]}))
+    import pytest as _pytest
+
+    for how in ("right", "outer"):
+        with _pytest.raises(ValueError, match="salting requires"):
+            joins.partitioned_hash_join(left, right, "k", how=how,
+                                        hot_keys=np.array([1]))
+
+
+def test_sized_fanout_grows_with_input():
+    from osmpbf_ray.functions.partitioning import sized_fanout
+
+    assert sized_fanout(1_000) == 64  # floor
+    assert sized_fanout(64 * 500_000) == 64
+    assert sized_fanout(640 * 500_000) == 640  # grows with rows
+    assert sized_fanout(10**12) == 1 << 16  # cap
+    # Dataset with plan metadata: fan-out scales without executing
+    big = rd.range(200).map_batches(lambda b: b)  # row count unknown post-map
+    assert sized_fanout(big) == 64
+    meta = rd.from_arrow(pa.table({"x": np.arange(1000)}))
+    assert sized_fanout(meta, target_rows=100) == 64  # floor dominates
+    assert sized_fanout(meta, target_rows=10, floor=8) == 100

@@ -107,13 +107,14 @@ def test_top_k_tiles():
 
 
 def test_spatial_join_partitioned_matches_broadcast():
-    """The huge-polygon-set path (co-partition both sides by coarse
-    cell) returns exactly the broadcast join's matches."""
+    """The huge-polygon-set path (ids-only candidate shuffle + ring-once
+    refine) returns exactly the broadcast join's matches — and ring
+    coordinates never enter the candidate exchange."""
     images = fixtures.make_images(300)
     polygons = fixtures.make_polygons(15)
     bcast = spatial_join.spatial_join(rd.from_arrow(images), polygons, z=12).to_pandas()
     part = spatial_join.spatial_join_partitioned(
-        rd.from_arrow(images), rd.from_arrow(polygons), coarse_z=6, z=12
+        rd.from_arrow(images), rd.from_arrow(polygons), z=12
     ).to_pandas()
     assert set(zip(part["image_id"], part["poly_id"])) == set(
         zip(bcast["image_id"], bcast["poly_id"])
