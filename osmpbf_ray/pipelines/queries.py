@@ -870,11 +870,11 @@ def q_way_geometry(sf_dir: str):
 # --- 23. relation member resolution (elements.rs:448-460) -------------------
 
 
-def q_relation_resolve(sf_dir: str):
-    """relations × part on (member_type, member_id): build delta-coded
-    relation blocks from a lineitem subset (distributed groupby), decode
-    members (RelMemberIter semantics), explode, resolve NODE-typed members
-    against the part table with a broadcast lookup join."""
+def _relation_members_ds(sf_dir: str):
+    """Shared front half of the relation-resolution queries: build
+    delta-coded relation blocks from a lineitem subset (distributed
+    groupby), decode members (RelMemberIter semantics), explode to one
+    row per (rel_id, member_id, role, member_type)."""
     from osmpbf_ray import schema as _schema
 
     li = _read(
@@ -948,23 +948,59 @@ def q_relation_resolve(sf_dir: str):
         offs = members.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         row_of = np.repeat(np.arange(batch.num_rows), np.diff(offs))
         ids = batch.column("id").to_numpy()
-        t = pa.table(
+        return pa.table(
             {
                 "rel_id": ids[row_of],
                 "member_id": flat.field("member_id"),
                 "role": flat.field("role"),
-                "member_type": flat.field("member_type"),
+                "member_type": flat.field("member_type").cast(pa.int64()),
             }
         )
-        return t.filter(pc.equal(t["member_type"], 0)).drop_columns(["member_type"])
 
-    node_members = rels.map_batches(
-        explode_members, batch_format="pyarrow", zero_copy_batch=True
+    return rels.map_batches(explode_members, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_relation_resolve(sf_dir: str):
+    """relations × part on (member_type, member_id): resolve NODE-typed
+    members against the part table with a broadcast lookup join."""
+    members = _relation_members_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["member_type"], 0)).drop_columns(["member_type"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]).rename_columns(
         ["member_id", "p_name"]
     )
-    return joins.broadcast_lookup_join(node_members, part, key="member_id")
+    return joins.broadcast_lookup_join(members, part, key="member_id")
+
+
+def q_relation_resolve_typed(sf_dir: str):
+    """Full typed member resolution — the (member_type, member_id) FK of
+    /root/reference/src/elements.rs:448-460 across ALL THREE target
+    kinds: NODE members resolve against the part table, WAY members
+    against supplier, RELATION members against customer (each a
+    broadcast lookup join; inner semantics — dangling refs drop, as the
+    reference's resolver skips missing targets). Output carries the
+    member type and the resolved display name."""
+    members = _relation_members_ds(sf_dir)
+    lookups = [
+        (0, "part", ["p_partkey", "p_name"]),
+        (1, "supplier", ["s_suppkey", "s_name"]),
+        (2, "customer", ["c_custkey", "c_name"]),
+    ]
+    parts = []
+    for mtype, table, cols in lookups:
+        side = members.map_batches(
+            lambda b, mt=mtype: b.filter(pc.equal(b["member_type"], mt)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        small = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols).rename_columns(
+            ["member_id", "name"]
+        )
+        parts.append(joins.broadcast_lookup_join(side, small, key="member_id"))
+    out = parts[0].union(parts[1]).union(parts[2])
+    return out.select_columns(["rel_id", "member_id", "member_type", "role", "name"])
 
 
 # --- rows-only queries (non-SQL-expressible; driver checks rows/schema) -----
@@ -985,10 +1021,24 @@ def q_quality_score(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
+    """Winnowing fingerprints in EXPLODED relational form: one row per
+    (doc_id, kept-window-hash as int64). The rolling polynomial hash +
+    splitmix64 + keep-mod-16 pipeline is integer-exact, so DuckDB
+    reproduces it (ascii()·257^j window sums through the same HUGEINT
+    splitmix CTE) — SQL-oracled, unlike the round-2 list-column shape."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        text.FingerprintStage, batch_format="pandas", concurrency=_conc()
-    ).select_columns(["doc_id", "fingerprint"])
+
+    def explode_fp(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            fp = text.rolling_fingerprint(str(t), 8, 16).astype(np.int64)
+            ids.extend([d] * len(fp))
+            fps.extend(fp.tolist())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "fp": pa.array(fps, type=pa.int64())})
+
+    return ds.map_batches(explode_fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -1194,6 +1244,45 @@ def q_ngram_verify(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_exact(sf_dir: str):
+    """EXACT character-5-gram Jaccard over a deterministic pair set
+    (doc d × doc d+1 for d % 10 == 0): pairs form via the partitioned
+    hash join, similarity via the hashed-shingle kernel. For ASCII text
+    the hashed-shingle set is the distinct-substring set (splitmix64 is
+    injective on distinct 5-grams up to ~1e-16 collision odds), so DuckDB
+    reproduces the values with substring sets — the SQL-oracled anchor
+    for the n-gram verify family."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def left_side(b: pa.Table) -> pa.Table:
+        keep = (b.column("doc_id").to_numpy() % 10) == 0
+        b = b.filter(pa.array(keep))
+        return pa.table({"id_a": b["doc_id"], "text_a": b["text"],
+                         "jk": pc.add(b["doc_id"], 1)})
+
+    def right_side(b: pa.Table) -> pa.Table:
+        return pa.table({"jk": b["doc_id"], "id_b": b["doc_id"], "text_b": b["text"]})
+
+    left = docs.map_batches(left_side, batch_format="pyarrow", zero_copy_batch=True)
+    right = docs.map_batches(right_side, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = joins.partitioned_hash_join(left, right, key="jk")
+
+    def jac(batch: pa.Table) -> pa.Table:
+        vals = np.array(
+            [
+                dedup.jaccard(dedup.char_shingle_hashes(str(a), 5),
+                              dedup.char_shingle_hashes(str(b), 5))
+                for a, b in zip(batch.column("text_a").to_pylist(),
+                                batch.column("text_b").to_pylist())
+            ],
+            dtype=np.float64,
+        )
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array(vals, type=pa.float64())})
+
+    return pairs.map_batches(jac, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_bloom_semi_join(sf_dir: str):
     """Semi-join via a broadcast Bloom pre-filter + exact refine: the
     join-pruning shape for big×selective joins (drop non-matching rows
@@ -1278,6 +1367,7 @@ def queries() -> dict:
         "pbf_pruned_read": q_pbf_pruned_read,
         "way_geometry": q_way_geometry,
         "relation_resolve": q_relation_resolve,
+        "relation_resolve_typed": q_relation_resolve_typed,
         "phash_dedup": q_phash_dedup,
         "knn_join_geo": q_knn_join_geo,
         "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -1295,6 +1385,7 @@ def queries() -> dict:
         "approx_distinct": q_approx_distinct,
         "image_resize": q_image_resize,
         "ngram_verify": q_ngram_verify,
+        "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "hash_sample": q_hash_sample,
         "flagship": q_flagship,
     }
@@ -1302,6 +1393,42 @@ def queries() -> dict:
 
 def _tile_sql(z: int = 6) -> tuple[str, str]:
     return spatial.tile_sql_exprs("lat", "lon", z)
+
+
+def _splitmix64_cte(key_col: str, carry: str, src: str, prelude: str = "") -> str:
+    """CTE chain computing ``splitmix64(key_col)`` exactly as column ``h``
+    over ``src`` (carrying ``carry`` columns through).
+
+    DuckDB's integer arithmetic is overflow-CHECKED, so the two wrapping
+    64-bit multiplies decompose into 32-bit halves carried in HUGEINT:
+    (a*b) mod 2^64 = (alo*blo + ((alo*bhi + ahi*blo) mod 2^32)<<32) mod 2^64.
+    xor/shift stay in UBIGINT (no overflow there). Bit-exactness vs the
+    numpy kernel (stages/text.splitmix64) is pytest-asserted.
+    """
+
+    def mul(x: str, b: int) -> str:
+        bhi, blo = b >> 32, b & 0xFFFFFFFF
+        return (
+            f"CAST(((CAST({x} % 4294967296 AS HUGEINT) * {blo}) + "
+            f"(((CAST({x} % 4294967296 AS HUGEINT) * {bhi}) + "
+            f"(CAST({x} // 4294967296 AS HUGEINT) * {blo})) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616 AS UBIGINT)"
+        )
+
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # stage references its input column 2-3×, so inlining re-evaluates
+    # the whole upstream expression tree exponentially (50s → 1.7s on
+    # the fingerprint oracle at sf0.01)
+    return (
+        f"WITH {prelude}sm0 AS MATERIALIZED (SELECT {carry}, "
+        f"CAST((CAST({key_col} AS HUGEINT) + 11400714819323198485) "
+        f"% 18446744073709551616 AS UBIGINT) AS z0 FROM {src}), "
+        f"sm1 AS MATERIALIZED (SELECT {carry}, xor(z0, z0 >> 30) AS x1 FROM sm0), "
+        f"sm2 AS MATERIALIZED (SELECT {carry}, {mul('x1', 0xBF58476D1CE4E5B9)} AS z1 FROM sm1), "
+        f"sm3 AS MATERIALIZED (SELECT {carry}, xor(z1, z1 >> 27) AS x2 FROM sm2), "
+        f"sm4 AS MATERIALIZED (SELECT {carry}, {mul('x2', 0x94D049BB133111EB)} AS z2 FROM sm3), "
+        f"smh AS MATERIALIZED (SELECT {carry}, xor(z2, z2 >> 31) AS h FROM sm4)"
+    )
 
 
 def oracle_sql() -> dict:
@@ -1451,6 +1578,91 @@ def oracle_sql() -> dict:
             "SELECT l_orderkey AS rel_id, l_partkey AS member_id, l_returnflag AS role, "
             "p_name FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_orderkey % 16 = 0 AND l_linenumber % 3 = 0"
+        ),
+        "relation_resolve_typed": (
+            "WITH mem AS (SELECT l_orderkey AS rel_id, l_partkey AS member_id, "
+            "CAST(l_linenumber % 3 AS BIGINT) AS member_type, l_returnflag AS role "
+            "FROM lineitem WHERE l_orderkey % 16 = 0) "
+            "SELECT rel_id, member_id, member_type, role, p_name AS name "
+            "FROM mem JOIN part ON member_type = 0 AND member_id = p_partkey "
+            "UNION ALL SELECT rel_id, member_id, member_type, role, s_name AS name "
+            "FROM mem JOIN supplier ON member_type = 1 AND member_id = s_suppkey "
+            "UNION ALL SELECT rel_id, member_id, member_type, role, c_name AS name "
+            "FROM mem JOIN customer ON member_type = 2 AND member_id = c_custkey"
+        ),
+        "ngram_jaccard_exact": (
+            "WITH pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.text AS ta, b.text AS tb FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 = 0), "
+            "g AS (SELECT id_a, id_b, "
+            "list_distinct(list_transform(generate_series(1, greatest(length(ta) - 4, 0)), "
+            "i -> substring(ta, i, 5))) AS sa, "
+            "list_distinct(list_transform(generate_series(1, greatest(length(tb) - 4, 0)), "
+            "i -> substring(tb, i, 5))) AS sb FROM pr) "
+            "SELECT id_a, id_b, CAST(len(list_intersect(sa, sb)) AS DOUBLE) / "
+            "(len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard FROM g"
+        ),
+        "hash_sample": (
+            _splitmix64_cte("l_orderkey", "l_orderkey, l_partkey", "lineitem")
+            + " SELECT l_orderkey, l_partkey FROM smh WHERE h < 1844674407370955264"
+        ),
+        "doc_fingerprint": (
+            _splitmix64_cte(
+                "v",
+                "doc_id, i",
+                "hw",
+                prelude=(
+                    "pos AS MATERIALIZED (SELECT doc_id, text, "
+                    "unnest(generate_series(1, length(text) - 7)) AS i FROM documents "
+                    "WHERE length(text) >= 8), "
+                    "hw AS MATERIALIZED (SELECT doc_id, i, CAST(("
+                    + " + ".join(
+                        f"CAST(ascii(substring(text, i + {j}, 1)) AS HUGEINT) * {257 ** j}"
+                        for j in range(8)
+                    )
+                    + ") % 18446744073709551616 AS UBIGINT) AS v FROM pos), "
+                ),
+            )
+            + ", kept AS (SELECT DISTINCT doc_id, h FROM smh WHERE h % 16 = 0), "
+            "fb AS (SELECT doc_id, h FROM smh WHERE i = 1 AND doc_id NOT IN "
+            "(SELECT doc_id FROM kept)) "
+            "SELECT doc_id, CAST(CAST(h AS HUGEINT) - CASE WHEN h >= 9223372036854775808 "
+            "THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp "
+            "FROM (SELECT * FROM kept UNION ALL SELECT * FROM fb)"
+        ),
+        "quality_score": (
+            "WITH w AS (SELECT doc_id, text, "
+            "regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents) "
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS q_n_chars, "
+            "CAST(len(words) AS BIGINT) AS q_n_words, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) "
+            "/ greatest(1, length(text)) AS q_punct_ratio, "
+            "CAST(len(list_filter(words, x -> x IN ('the','and','of','to','a','in',"
+            "'is','that','it','for','was','with'))) AS DOUBLE) "
+            "/ greatest(1, len(words)) AS q_stop_ratio, "
+            "CASE WHEN len(words) = 0 THEN 0.0 ELSE "
+            "CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) "
+            "END AS q_mean_word_len FROM w"
+        ),
+        "lang_id": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents), "
+            "s AS (SELECT doc_id, "
+            "len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is',"
+            "'that','it','for','was','with'))) AS en, "
+            "len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht',"
+            "'ein','mit','auf','für','von'))) AS de, "
+            "len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une',"
+            "'dans','pour','que','des'))) AS fr, "
+            "len(list_filter(words, x -> x IN ('el','la','los','las','y','es','un',"
+            "'una','en','que','por','para'))) AS es FROM w) "
+            # tie-break = python max(scores, key=(score, lang)): the
+            # lexicographically LARGEST language wins ties, so the ladder
+            # tests fr, then es, then en, then de
+            "SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
+            "WHEN fr >= en AND fr >= de AND fr >= es THEN 'fr' "
+            "WHEN es >= en AND es >= de THEN 'es' "
+            "WHEN en >= de THEN 'en' ELSE 'de' END AS lang_pred FROM s"
         ),
         "phash_dedup": (
             "SELECT min(image_id) AS image_id, phash FROM "

@@ -55,3 +55,20 @@ def test_rows_only_queries_run(name, min_rows):
     got = _to_df(q.queries()[name](SF))
     assert len(got) >= min_rows
     assert len(got.columns) > 0
+
+
+def test_splitmix64_sql_bit_exact(con):
+    """The DuckDB splitmix64 CTE (32-bit-decomposed wrapping multiplies)
+    is bit-identical to the numpy kernel across the u64 domain edges."""
+    import pyarrow as pa
+
+    from osmpbf_ray.stages.text import splitmix64
+
+    keys = np.concatenate(
+        [np.arange(0, 500), np.array([2**62, 2**63 - 1, 123456789012345, 2**53 + 1])]
+    ).astype(np.int64)
+    con.register("smtest", pa.table({"k": keys}))
+    sql = q._splitmix64_cte("k", "k", "smtest") + " SELECT k, h FROM smh ORDER BY k"
+    got = con.execute(sql).df()["h"].to_numpy().astype(np.uint64)
+    exp = splitmix64(np.sort(keys).view(np.uint64))
+    assert (got == exp).all()
