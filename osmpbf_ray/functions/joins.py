@@ -27,26 +27,32 @@ import pyarrow.compute as pc
 import ray
 
 
+# per-worker-process cache of the most recent broadcast key set (bounded
+# at ONE entry, like _BCAST_CACHE below): tasks are elastic — no actor
+# pool to spin up (a pool paid ~2-4 s of worker startup PER semi-join
+# call, the dominant cost of every broadcast-filter stage at sf0.1) —
+# yet the unique+Arrow conversion still runs once per worker, not per batch
+_SEMI_CACHE: dict = {}
+
+
 def broadcast_semi_join(ds, key_col: str, keys_ref) -> "ray.data.Dataset":
     """Keep rows whose ``key_col`` ∈ broadcast key set.
 
     ``keys_ref`` is an ``ray.ObjectRef`` from ``ray.put(np.ndarray)`` —
-    shipped to each task once via Ray's object store (zero re-serialization
-    per batch), the scale-correct analog of the reference's BTreeSet
-    binary-search membership test (indexed.rs:314,320).
+    shipped to each worker once via Ray's object store (zero
+    re-serialization per batch), the scale-correct analog of the
+    reference's BTreeSet binary-search membership test (indexed.rs:314,320).
     """
 
-    class SemiJoin:
-        def __init__(self):
-            keys = ray.get(keys_ref)
-            self.keys = pa.array(np.unique(np.asarray(keys)))
+    def filt(batch: pa.Table) -> pa.Table:
+        hexkey = keys_ref.hex()
+        if _SEMI_CACHE.get("key") != hexkey:
+            _SEMI_CACHE.clear()
+            _SEMI_CACHE["key"] = hexkey
+            _SEMI_CACHE["keys"] = pa.array(np.unique(np.asarray(ray.get(keys_ref))))
+        return batch.filter(pc.is_in(batch[key_col], value_set=_SEMI_CACHE["keys"]))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch[key_col], value_set=self.keys))
-
-    return ds.map_batches(
-        SemiJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
-    )
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):
@@ -167,6 +173,8 @@ def partitioned_hash_join(
     suffix: str = "_r",
     hot_keys: "np.ndarray | None" = None,
     n_salt: int = 8,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Explicit partitioned hash join (both sides large), Arrow end-to-end.
 
@@ -266,8 +274,12 @@ def partitioned_hash_join(
                     fields.append(pa.field(name, pa.string()))
         return pa.schema(fields)
 
-    lschema = as_arrow_schema(left_ds.schema())
-    rschema = as_arrow_schema(right_ds.schema())
+    # ds.schema() on a LAZY input executes its plan up to the first block
+    # — through an upstream shuffle that means (almost) the whole plan,
+    # run AGAIN when the join consumes it. Callers chaining joins should
+    # pass the known schemas to keep each input single-execution.
+    lschema = left_schema if left_schema is not None else as_arrow_schema(left_ds.schema())
+    rschema = right_schema if right_schema is not None else as_arrow_schema(right_ds.schema())
     lcols, rcols = list(lschema.names), list(rschema.names)
     rename = {c: (c + suffix if c in lcols else c) for c in rcols if c != key}
     rcols_out = [rename[c] for c in rcols if c != key]

@@ -622,6 +622,23 @@ def q_shipping_priority(sf_dir: str):
         g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["o_orderkey", "rev"])
 
+    # final per-order reduce: hash-partition to an input-sized fan-out and
+    # run ONE vectorized Arrow group_by per partition — Ray's per-key
+    # aggregate paid a sort-shuffle plus per-key costs over ~#orders
+    # distinct keys (the round-2 bench's largest fixed cost, ~4 s at sf0.1)
+    n_parts = partitioning.sized_fanout(co.num_rows)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        pk = (joins.splitmix_u64(batch.column("o_orderkey").to_numpy())
+              % np.uint64(n_parts)).astype(np.int64)
+        return batch.append_column("__pkey", pa.array(pk))
+
+    def sum_part(g: pa.Table) -> pa.Table:
+        out = g.select(["o_orderkey", "rev"]).group_by("o_orderkey").aggregate(
+            [("rev", "sum")]
+        )
+        return out.rename_columns(["o_orderkey", "revenue_micro"])
+
     rev = (
         joins.broadcast_semi_join(
             _read(
@@ -633,8 +650,9 @@ def q_shipping_priority(sf_dir: str):
             okeys_ref,
         )
         .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue_micro"))
+        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(sum_part, batch_format="pyarrow")
     )
 
     # top-k with a per-block combiner: each block keeps its local top 10,

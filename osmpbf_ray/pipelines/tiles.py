@@ -68,9 +68,11 @@ def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon", final: str = "sh
         import pandas as pd
         import ray.data as rd
 
-        acc = pd.concat(
-            list(partials.iter_batches(batch_format="pandas")),
-            ignore_index=True,
+        batches = list(partials.iter_batches(batch_format="pandas"))
+        acc = (
+            pd.concat(batches, ignore_index=True)
+            if batches
+            else pd.DataFrame()  # a fully-empty join yields NO batches at all
         )
         if len(acc) == 0:
             acc = pd.DataFrame({"tile": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
