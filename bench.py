@@ -349,6 +349,12 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # the testdata parquet files carry pandas metadata (a dict) in their
+    # schema; Ray's ReadParquet logs an unhashable-schema warning per
+    # block for it — reading-side noise, not a pipeline defect
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     _register_by_value()
 
     # repeat and take the fastest run: the first pays worker/import

@@ -1256,7 +1256,9 @@ def q_ngram_verify(sf_dir: str):
     candidate-only verify family): only candidate docs' texts are
     fetched. Rows-only."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = dedup.minhash_candidate_pairs(ds, threshold=0.4)
+    # materialize: the verify consumes the pair set twice (id collection
+    # + payload join) and a lazy Dataset re-executes per consumer
+    cand = dedup.minhash_candidate_pairs(ds, threshold=0.4).materialize()
     return dedup.ngram_jaccard_pairs(ds, cand, threshold=0.4).select_columns(
         ["id_a", "id_b", "jaccard"]
     )
