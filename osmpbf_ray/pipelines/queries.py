@@ -1101,8 +1101,11 @@ def _embeddings_with_planted(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    # the planted union is consumed three times downstream (dim probe,
+    # band explode, candidate fetch) — materialize the small table once
+    # instead of re-running read+plant per consumer
     pairs = dedup.embedding_near_dup_pairs(
-        _embeddings_with_planted(sf_dir), threshold=0.9
+        _embeddings_with_planted(sf_dir).materialize(), threshold=0.9
     )
     # pair sets are tiny (bounded by true near-dups); materialize so the
     # zero-pair case still returns a stable typed schema

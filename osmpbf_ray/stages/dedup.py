@@ -380,8 +380,12 @@ def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
         rows = pairs_ds._meta_count()
     except Exception:
         rows = None
+    n_buckets = None
     if rows is not None:
         pairs_ds = pairs_ds.repartition(int(np.clip(-(-rows // 250_000), 8, 512)))
+        # tiny pair sets don't need 64 reduce groups per exchange — the
+        # orchestration would dwarf the data; floor at 4, grow with rows
+        n_buckets = int(np.clip(-(-rows // 250_000), 4, 1 << 16))
 
     a_side = payload_ds.map_batches(
         lambda b: b.rename_columns(["id_a", f"{payload_col}_a"]),
@@ -401,11 +405,13 @@ def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
     a_schema = pa.schema([pa.field("id_a", idt), pa.field(f"{payload_col}_a", pt)])
     b_schema = pa.schema([pa.field("id_b", idt), pa.field(f"{payload_col}_b", pt)])
     joined = partitioned_hash_join(
-        pairs_ds, a_side, key="id_a", left_schema=pairs_schema, right_schema=a_schema
+        pairs_ds, a_side, key="id_a", left_schema=pairs_schema,
+        right_schema=a_schema, n_buckets=n_buckets,
     )
     j1_schema = pa.schema(list(pairs_schema) + [pa.field(f"{payload_col}_a", pt)])
     return partitioned_hash_join(
-        joined, b_side, key="id_b", left_schema=j1_schema, right_schema=b_schema
+        joined, b_side, key="id_b", left_schema=j1_schema,
+        right_schema=b_schema, n_buckets=n_buckets,
     )
 
 
