@@ -1454,6 +1454,59 @@ def _splitmix64_cte(key_col: str, carry: str, src: str, prelude: str = "") -> st
     )
 
 
+def _token_hash_cte() -> str:
+    """CTEs reproducing ``text.token_hashes`` exactly in DuckDB: word
+    tokens (the ``[^\\W\\d_]+`` regex collapses to ``[a-z]+`` on this
+    ASCII corpus after ``lower()``), zlib.crc32 per DISTINCT token via a
+    recursive bit-step CTE (the polynomial 0xEDB88320, reflected — the
+    public CRC-32 everyone implements), then splitmix64. Ends with
+    ``tokh(doc_id, h)`` carrying one row per token INSTANCE."""
+    prelude = (
+        "toks AS MATERIALIZED (SELECT doc_id, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents), "
+        "vocab AS MATERIALIZED (SELECT DISTINCT tok FROM toks), "
+        "crcs AS MATERIALIZED (WITH RECURSIVE st AS ("
+        "  SELECT tok, 1 AS pos, 0 AS bit, "
+        "xor(CAST(4294967295 AS UBIGINT), CAST(ascii(substr(tok,1,1)) AS UBIGINT)) AS c FROM vocab"
+        "  UNION ALL  SELECT tok,"
+        "    CASE WHEN bit < 8 THEN pos ELSE pos+1 END,"
+        "    CASE WHEN bit < 8 THEN bit+1 ELSE 0 END,"
+        "    CASE WHEN bit < 8 THEN xor(c >> 1, CASE WHEN c % 2 = 1 "
+        "THEN CAST(3988292384 AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        "         ELSE xor(c, CAST(ascii(substr(tok, pos+1, 1)) AS UBIGINT)) END"
+        "  FROM st WHERE NOT (bit = 8 AND pos = length(tok)))"
+        "  SELECT tok, xor(c, CAST(4294967295 AS UBIGINT)) AS crc FROM st "
+        "WHERE bit = 8 AND pos = length(tok)), "
+    )
+    return (
+        _splitmix64_cte("crc", "tok", "crcs", prelude=prelude)
+        + ", tokh AS MATERIALIZED (SELECT t.doc_id, s.h FROM toks t JOIN smh s USING (tok))"
+    )
+
+
+def _simhash_pairs_sql(max_dist: int = 6) -> str:
+    """Brute-force SimHash near-dup twin: the engine's banded path has
+    GUARANTEED recall for distances ≤ max_dist (pigeonhole,
+    ``n_bands = max_dist + 1``) plus exact Hamming verify, so its output
+    equals the all-pairs filter computed here. SimHash itself (sign of
+    per-bit weight sums over token-instance hashes) is integer-exact,
+    so DuckDB reproduces it bit-for-bit."""
+    return (
+        _token_hash_cte()
+        + ", doc_n AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM tokh GROUP BY doc_id), "
+        "bits AS (SELECT doc_id, b AS bitpos, count(*) FILTER ((h >> b) % 2 = 1) AS ones "
+        "  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0,63)) AS b) GROUP BY doc_id, b), "
+        "sh AS (SELECT bits.doc_id, CAST(CAST(sum(CASE WHEN 2*ones > n "
+        "THEN CAST(CAST(1 AS UBIGINT) << bitpos AS HUGEINT) ELSE 0 END) AS HUGEINT) "
+        "% 18446744073709551616 AS UBIGINT) AS sh "
+        "  FROM bits JOIN doc_n USING (doc_id) GROUP BY bits.doc_id) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sh, b.sh)) <= {max_dist}"
+    )
+
+
 def oracle_sql() -> dict:
     xe, ye = _tile_sql(6)
     xe4, ye4 = _tile_sql(4)
@@ -1629,6 +1682,7 @@ def oracle_sql() -> dict:
             _splitmix64_cte("l_orderkey", "l_orderkey, l_partkey", "lineitem")
             + " SELECT l_orderkey, l_partkey FROM smh WHERE h < 1844674407370955264"
         ),
+        "simhash_pairs": _simhash_pairs_sql(6),
         "doc_fingerprint": (
             _splitmix64_cte(
                 "v",
