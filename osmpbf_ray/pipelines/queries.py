@@ -1343,6 +1343,21 @@ def q_approx_distinct(sf_dir: str):
     return pa.table({"approx_n_distinct": pa.array([est], type=pa.float64())})
 
 
+def q_hll_registers(sf_dir: str):
+    """The HLL sketch STATE as relational rows (bucket, rank) — the
+    mergeable fold state behind ``approx_distinct``, integer-exact and
+    order-insensitive, so DuckDB reproduces it bit-for-bit (splitmix64
+    CTE + bucket/leading-rank bit math). Zero registers are omitted:
+    a bucket appears iff some value hashed into it."""
+    from osmpbf_ray.stages import sketch
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    regs = sketch.hll_registers(ds, "l_partkey", p=12)
+    hit = np.flatnonzero(regs)
+    return pa.table({"bucket": pa.array(hit, type=pa.int64()),
+                     "rank": pa.array(regs[hit].astype(np.int64), type=pa.int64())})
+
+
 def q_flagship(sf_dir: str):
     images = rd.from_arrow(_synth_images(sf_dir))
     res = flagship_mod.run_flagship(
@@ -1406,6 +1421,7 @@ def queries() -> dict:
         "image_decode": q_image_decode,
         "knn_join_geo_kring": q_knn_join_geo_kring,
         "approx_distinct": q_approx_distinct,
+        "hll_registers": q_hll_registers,
         "image_resize": q_image_resize,
         "ngram_verify": q_ngram_verify,
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
@@ -1683,6 +1699,22 @@ def oracle_sql() -> dict:
             + " SELECT l_orderkey, l_partkey FROM smh WHERE h < 1844674407370955264"
         ),
         "simhash_pairs": _simhash_pairs_sql(6),
+        "hll_registers": (
+            _splitmix64_cte(
+                "v", "v", "dv",
+                prelude=("dv AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) "
+                         "AS v FROM lineitem), "),
+            )
+            + ", rw AS MATERIALIZED (SELECT v, h >> 52 AS bucket, "
+            "CAST(CAST(h AS HUGEINT) * 4096 % 18446744073709551616 AS UBIGINT) AS rest FROM smh), "
+            # rank = 1-based position of the first set bit of the left-aligned
+            # remainder, capped at 64-p+1 = 53 when it is all zeros
+            "rk AS (SELECT v, bucket, COALESCE(min(CASE WHEN (rest >> (64 - r)) % 2 = 1 "
+            "THEN r END), 53) AS rank "
+            "FROM rw CROSS JOIN (SELECT unnest(generate_series(1, 52)) AS r) GROUP BY v, bucket) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(rank) AS BIGINT) AS rank "
+            "FROM rk GROUP BY bucket"
+        ),
         "doc_fingerprint": (
             _splitmix64_cte(
                 "v",

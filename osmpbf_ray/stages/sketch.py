@@ -69,11 +69,11 @@ def hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
-def approx_distinct(ds, col: str, p: int = 12) -> float:
-    """Distributed approximate COUNT(DISTINCT): per-batch register
-    sketches (map-side), one tiny driver merge of 2^p-byte arrays —
-    the par_map_reduce contract (reference src/reader.rs:119-142) with
-    a mergeable sketch as the fold state."""
+def hll_registers(ds, col: str, p: int = 12) -> np.ndarray:
+    """Distributed HLL sketch build: per-batch register partials
+    (map-side), one tiny driver merge of 2^p-byte arrays — the
+    par_map_reduce contract (reference src/reader.rs:119-142) with a
+    mergeable sketch as the fold state. Returns the merged registers."""
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -86,7 +86,12 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for t in ray.get(parts.to_arrow_refs()):
         for blob in t.column("regs").to_pylist():
             regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
-    return hll_estimate(regs)
+    return regs
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Distributed approximate COUNT(DISTINCT) over the merged sketch."""
+    return hll_estimate(hll_registers(ds, col, p))
 
 
 # --- Bloom filter (join pre-filtering) ---------------------------------------
