@@ -1089,10 +1089,13 @@ def _embeddings_with_planted(sf_dir: str):
                              "embedding": batch.column("embedding").slice(0, 0)})
         ids = t.column("vec_id").to_numpy()
         vecs = ann.vecs_to_numpy(t.column("embedding"), dtype=np.float32)
-        out = np.empty_like(vecs)
-        for j, i in enumerate(ids):  # per-id rng → deterministic under any partitioning
-            rng = np.random.default_rng(9000 + int(i))
-            out[j] = vecs[j] + rng.normal(0, 0.02, vecs.shape[1]).astype(np.float32)
+        # splitmix64 uniform noise (±0.02 per dim), keyed by (id, dim):
+        # deterministic under any partitioning AND integer-exact, so the
+        # DuckDB oracle rebuilds the same planted float32 vectors
+        keys = ((np.uint64(9000) + ids.astype(np.uint64))[:, None] * np.uint64(1024)
+                + np.arange(vecs.shape[1], dtype=np.uint64)[None, :])
+        u = text.splitmix64(keys).astype(np.float64) / 2.0**64
+        out = vecs + ((u - 0.5) * 0.04).astype(np.float32)
         emb = pa.array(list(out), type=batch.schema.field("embedding").type)
         return pa.table({"vec_id": pa.array(ids + 10_000_000), "embedding": emb})
 
@@ -1523,6 +1526,36 @@ def _simhash_pairs_sql(max_dist: int = 6) -> str:
     )
 
 
+def _embedding_near_dup_sql(threshold: float = 0.9) -> str:
+    """Brute-force cosine twin for the banded-LSH near-dup: planted
+    float32 vectors rebuilt exactly (splitmix64 uniform noise keyed by
+    (id, dim) — see ``_embeddings_with_planted``), then all-pairs
+    rounded cosine ≥ threshold. Engine == brute force because the 64×16
+    banding misses a planted pair (cosine ≥ 0.99) with prob < 1e-11 and
+    the verify phase is exact."""
+    prelude = (
+        "base AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings), "
+        "el AS MATERIALIZED (SELECT id, unnest(embedding) AS x, "
+        "unnest(range(0, len(embedding))) AS dim FROM base WHERE id < 50), "
+        "kk AS MATERIALIZED (SELECT id, dim, x, (9000 + id) * 1024 + dim AS k FROM el), "
+    )
+    cos = ("round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(b.embedding AS DOUBLE[])), 9)")
+    return (
+        _splitmix64_cte("k", "id, dim, x", "kk", prelude=prelude)
+        + ", nz AS MATERIALIZED (SELECT id, dim, "
+        "CAST(x + CAST((CAST(h AS DOUBLE)/18446744073709551616.0 - 0.5) * 0.04 AS FLOAT) "
+        "AS FLOAT) AS v FROM smh), "
+        "pv AS MATERIALIZED (SELECT id + 10000000 AS id, list(v ORDER BY dim) AS embedding "
+        "FROM nz GROUP BY id), "
+        "allv AS MATERIALIZED (SELECT id, embedding FROM base "
+        "UNION ALL SELECT id, embedding FROM pv) "
+        f"SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine "
+        "FROM allv a JOIN allv b ON a.id < b.id "
+        f"WHERE {cos} >= {threshold}"
+    )
+
+
 def oracle_sql() -> dict:
     xe, ye = _tile_sql(6)
     xe4, ye4 = _tile_sql(4)
@@ -1699,6 +1732,7 @@ def oracle_sql() -> dict:
             + " SELECT l_orderkey, l_partkey FROM smh WHERE h < 1844674407370955264"
         ),
         "simhash_pairs": _simhash_pairs_sql(6),
+        "embedding_near_dup": _embedding_near_dup_sql(0.9),
         "hll_registers": (
             _splitmix64_cte(
                 "v", "v", "dv",
