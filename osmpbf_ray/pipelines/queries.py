@@ -1437,9 +1437,12 @@ def _tile_sql(z: int = 6) -> tuple[str, str]:
     return spatial.tile_sql_exprs("lat", "lon", z)
 
 
-def _splitmix64_cte(key_col: str, carry: str, src: str, prelude: str = "") -> str:
+def _splitmix64_cte(key_col: str, carry: str, src: str, prelude: str = "",
+                    tag: str = "") -> str:
     """CTE chain computing ``splitmix64(key_col)`` exactly as column ``h``
-    over ``src`` (carrying ``carry`` columns through).
+    over ``src`` (carrying ``carry`` columns through). ``tag`` suffixes
+    the CTE names (``sm0<tag>``..``smh<tag>``) so several chains compose
+    in one query (e.g. the minhash band-hash fold).
 
     DuckDB's integer arithmetic is overflow-CHECKED, so the two wrapping
     64-bit multiplies decompose into 32-bit halves carried in HUGEINT:
@@ -1461,16 +1464,18 @@ def _splitmix64_cte(key_col: str, carry: str, src: str, prelude: str = "") -> st
     # stage references its input column 2-3×, so inlining re-evaluates
     # the whole upstream expression tree exponentially (50s → 1.7s on
     # the fingerprint oracle at sf0.01)
-    return (
-        f"WITH {prelude}sm0 AS MATERIALIZED (SELECT {carry}, "
+    t = tag
+    body = (
+        f"sm0{t} AS MATERIALIZED (SELECT {carry}, "
         f"CAST((CAST({key_col} AS HUGEINT) + 11400714819323198485) "
         f"% 18446744073709551616 AS UBIGINT) AS z0 FROM {src}), "
-        f"sm1 AS MATERIALIZED (SELECT {carry}, xor(z0, z0 >> 30) AS x1 FROM sm0), "
-        f"sm2 AS MATERIALIZED (SELECT {carry}, {mul('x1', 0xBF58476D1CE4E5B9)} AS z1 FROM sm1), "
-        f"sm3 AS MATERIALIZED (SELECT {carry}, xor(z1, z1 >> 27) AS x2 FROM sm2), "
-        f"sm4 AS MATERIALIZED (SELECT {carry}, {mul('x2', 0x94D049BB133111EB)} AS z2 FROM sm3), "
-        f"smh AS MATERIALIZED (SELECT {carry}, xor(z2, z2 >> 31) AS h FROM sm4)"
+        f"sm1{t} AS MATERIALIZED (SELECT {carry}, xor(z0, z0 >> 30) AS x1 FROM sm0{t}), "
+        f"sm2{t} AS MATERIALIZED (SELECT {carry}, {mul('x1', 0xBF58476D1CE4E5B9)} AS z1 FROM sm1{t}), "
+        f"sm3{t} AS MATERIALIZED (SELECT {carry}, xor(z1, z1 >> 27) AS x2 FROM sm2{t}), "
+        f"sm4{t} AS MATERIALIZED (SELECT {carry}, {mul('x2', 0x94D049BB133111EB)} AS z2 FROM sm3{t}), "
+        f"smh{t} AS MATERIALIZED (SELECT {carry}, xor(z2, z2 >> 31) AS h FROM sm4{t})"
     )
+    return f"WITH {prelude}{body}" if not t else f"{prelude}{body}"
 
 
 def _token_hash_cte() -> str:
@@ -1523,6 +1528,88 @@ def _simhash_pairs_sql(max_dist: int = 6) -> str:
         "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.sh, b.sh)) <= {max_dist}"
+    )
+
+
+def _minhash_core_sql(threshold: float = 0.5) -> str:
+    """The ENTIRE MinHash+LSH pipeline reproduced in DuckDB — shingle
+    polynomial hashes (5-byte windows, base 1099511628211 mod 2^64,
+    splitmix64), per-doc distinct shingles, 64 xor-permutation minima
+    (seeds = splitmix64(1..64), inlined), the 16-band splitmix fold
+    hash, candidate pairs sharing a (band, hash) bucket, and the
+    signature-agreement verify (eq/64 ≥ threshold). Everything is
+    integer-exact, so engine output hash-matches bit-for-bit. Assumes
+    every doc is ≥ 5 bytes (the corpus is; shorter docs take a crc32
+    fallback the SQL does not model)."""
+    from osmpbf_ray.stages.dedup import _MINHASH_SEEDS
+
+    base = 1099511628211
+    pow5 = [pow(base, j, 2**64) for j in range(5)]
+    seeds_vals = ", ".join(
+        f"({p}, CAST({int(s)} AS UBIGINT))" for p, s in enumerate(_MINHASH_SEEDS[:64])
+    )
+    wsum = " + ".join(
+        f"CAST(ascii(substring(text, i + {j}, 1)) AS HUGEINT) * {pow5[j]}" for j in range(5)
+    )
+    prelude = (
+        "dt AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE length(text) >= 5), "
+        "pos AS MATERIALIZED (SELECT doc_id, text, "
+        "unnest(generate_series(1, length(text) - 4)) AS i FROM dt), "
+        f"win AS MATERIALIZED (SELECT doc_id, CAST(({wsum}) % 18446744073709551616 AS UBIGINT) "
+        "AS wsum FROM pos), "
+    )
+    slots = ["s1", "s2", "s3"]
+    fold = ""
+    for j in range(4):  # band_hash = fold(splitmix64(h ^ slot_j)), h0 = golden
+        rest = ", ".join(["doc_id", "band"] + slots[j:])
+        src = "bnd" if j == 0 else f"smhb{j-1}"
+        hin = "CAST(11400714819323198485 AS UBIGINT)" if j == 0 else "h"
+        fold += (
+            f", f{j} AS MATERIALIZED (SELECT {rest}, xor({hin}, s{j}) AS k{j} FROM {src}), "
+            + _splitmix64_cte(f"k{j}", rest, f"f{j}", tag=f"b{j}")
+        )
+    return (
+        _splitmix64_cte("wsum", "doc_id", "win", prelude=prelude)
+        + ", sh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM smh), "
+        f"seeds(p, seed) AS (VALUES {seeds_vals}), "
+        "sig AS MATERIALIZED (SELECT doc_id, p, min(xor(h, seed)) AS s "
+        "FROM sh CROSS JOIN seeds GROUP BY doc_id, p), "
+        "bnd AS MATERIALIZED (SELECT doc_id, p // 4 AS band, "
+        "max(CASE WHEN p % 4 = 0 THEN s END) AS s0, max(CASE WHEN p % 4 = 1 THEN s END) AS s1, "
+        "max(CASE WHEN p % 4 = 2 THEN s END) AS s2, max(CASE WHEN p % 4 = 3 THEN s END) AS s3 "
+        "FROM sig GROUP BY doc_id, p // 4)"
+        + fold
+        + ", cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM smhb3 a JOIN smhb3 b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id), "
+        "agree AS (SELECT c.id_a, c.id_b, count(*) FILTER (sa.s = sb.s) AS eq "
+        "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
+        "JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p GROUP BY c.id_a, c.id_b), "
+        "vp AS MATERIALIZED (SELECT id_a, id_b, CAST(eq AS DOUBLE)/64 AS est_jaccard "
+        f"FROM agree WHERE CAST(eq AS DOUBLE)/64 >= {threshold})"
+    )
+
+
+def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return _minhash_core_sql(threshold) + " SELECT id_a, id_b, est_jaccard FROM vp"
+
+
+def _ngram_verify_sql(threshold: float = 0.4) -> str:
+    """MinHash candidates (est ≥ threshold, the ``vp`` CTE) re-verified
+    by EXACT 5-gram Jaccard over the hashed-shingle sets — the same
+    inter/union arithmetic as ``dedup.jaccard``, so the DOUBLE division
+    is IEEE-identical."""
+    return (
+        _minhash_core_sql(threshold)
+        + ", cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "ints AS MATERIALIZED (SELECT c.id_a, c.id_b, count(*) AS inter FROM vp c "
+        "JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h "
+        "GROUP BY c.id_a, c.id_b) "
+        "SELECT c.id_a, c.id_b, CAST(COALESCE(i.inter, 0) AS DOUBLE) / "
+        "(na.n + nb.n - COALESCE(i.inter, 0)) AS jaccard "
+        "FROM vp c JOIN cnt na ON na.doc_id = c.id_a JOIN cnt nb ON nb.doc_id = c.id_b "
+        "LEFT JOIN ints i ON i.id_a = c.id_a AND i.id_b = c.id_b "
+        "WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / "
+        f"(na.n + nb.n - COALESCE(i.inter, 0)) >= {threshold}"
     )
 
 
@@ -1733,6 +1820,8 @@ def oracle_sql() -> dict:
         ),
         "simhash_pairs": _simhash_pairs_sql(6),
         "embedding_near_dup": _embedding_near_dup_sql(0.9),
+        "minhash_pairs": _minhash_pairs_sql(0.5),
+        "ngram_verify": _ngram_verify_sql(0.4),
         "hll_registers": (
             _splitmix64_cte(
                 "v", "v", "dv",

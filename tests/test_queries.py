@@ -49,7 +49,7 @@ def test_query_matches_oracle(name, con):
 
 @pytest.mark.parametrize(
     "name,min_rows",
-    [("lang_id", 1), ("minhash_pairs", 0), ("phash_dedup", 1), ("flagship", 0)],
+    [("ivf_knn", 1), ("image_resize", 1), ("knn_join_geo_kring", 1), ("flagship", 0)],
 )
 def test_rows_only_queries_run(name, min_rows):
     got = _to_df(q.queries()[name](SF))
