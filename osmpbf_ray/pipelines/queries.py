@@ -1165,7 +1165,14 @@ def q_phash_dedup(sf_dir: str):
 
 
 def q_image_decode(sf_dir: str):
-    images = rd.from_arrow(_synth_images(sf_dir))
+    """Decode the parquet twin of the synthetic image table and re-hash:
+    the lossy codec preserves the 64-bit phash on every image (the
+    reference's PSNR/phash invariant), so the DuckDB oracle asserts
+    phash_decoded == phash and decode_error == false row-for-row —
+    a broken decoder (wrong filter path, bad DCT, error latch) breaks
+    the hash compare. Reads the same fixed twin as ``phash_dedup`` so
+    the oracle input is one well-defined file."""
+    images = rd.read_parquet(_synth_images_path())
     decoded = images.map_batches(
         ImageDecoder, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_conc()
     )
@@ -1336,13 +1343,17 @@ def q_hash_sample(sf_dir: str):
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog COUNT(DISTINCT l_partkey): fixed 4 KiB sketch per
     batch, no shuffle — the scale path next to ``distinct_count``'s
-    exact (one-row-per-key shuffle) baseline. Rows-only: the estimate is
-    approximate by design; pytest bounds its error against the exact
-    count (±5% at p=12)."""
+    exact (one-row-per-key shuffle) baseline. The estimate is
+    approximate w.r.t. the TRUE count (pytest bounds that error, ±5% at
+    p=12) but deterministic given the sketch: the DuckDB oracle rebuilds
+    the registers, the exact integer harmonic denominator and the same
+    bias/linear-counting corrections, rounded to 6 digits (ln() differs
+    from numpy in the last ulp)."""
     from osmpbf_ray.stages import sketch
 
     ds = _read(sf_dir, "lineitem", ["l_partkey"])
     est = sketch.approx_distinct(ds, "l_partkey", p=12)
+    est = float(ann.round_half_away(np.array([est]), 6)[0])
     return pa.table({"approx_n_distinct": pa.array([est], type=pa.float64())})
 
 
@@ -1528,6 +1539,30 @@ def _simhash_pairs_sql(max_dist: int = 6) -> str:
         "CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming "
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.sh, b.sh)) <= {max_dist}"
+    )
+
+
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 4096)  # sketch.hll_estimate's alpha at p=12
+
+
+def _hll_regs_sql(p: int = 12) -> str:
+    """CTEs rebuilding the HLL registers over distinct l_partkey, ending
+    with ``regs(bucket, rank)`` (nonzero registers only): splitmix64
+    hash, bucket = top p bits, rank = 1-based first-set-bit position of
+    the left-aligned remainder, capped at 64-p+1."""
+    return (
+        _splitmix64_cte(
+            "v", "v", "dv",
+            prelude=("dv AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) "
+                     "AS v FROM lineitem), "),
+        )
+        + f", rw AS MATERIALIZED (SELECT v, h >> {64 - p} AS bucket, "
+        f"CAST(CAST(h AS HUGEINT) * {1 << p} % 18446744073709551616 AS UBIGINT) AS rest FROM smh), "
+        "rk AS (SELECT v, bucket, COALESCE(min(CASE WHEN (rest >> (64 - r)) % 2 = 1 "
+        f"THEN r END), {64 - p + 1}) AS rank "
+        f"FROM rw CROSS JOIN (SELECT unnest(generate_series(1, {64 - p})) AS r) "
+        "GROUP BY v, bucket), "
+        "regs AS MATERIALIZED (SELECT bucket, max(rank) AS rank FROM rk GROUP BY bucket)"
     )
 
 
@@ -1823,20 +1858,19 @@ def oracle_sql() -> dict:
         "minhash_pairs": _minhash_pairs_sql(0.5),
         "ngram_verify": _ngram_verify_sql(0.4),
         "hll_registers": (
-            _splitmix64_cte(
-                "v", "v", "dv",
-                prelude=("dv AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) "
-                         "AS v FROM lineitem), "),
-            )
-            + ", rw AS MATERIALIZED (SELECT v, h >> 52 AS bucket, "
-            "CAST(CAST(h AS HUGEINT) * 4096 % 18446744073709551616 AS UBIGINT) AS rest FROM smh), "
-            # rank = 1-based position of the first set bit of the left-aligned
-            # remainder, capped at 64-p+1 = 53 when it is all zeros
-            "rk AS (SELECT v, bucket, COALESCE(min(CASE WHEN (rest >> (64 - r)) % 2 = 1 "
-            "THEN r END), 53) AS rank "
-            "FROM rw CROSS JOIN (SELECT unnest(generate_series(1, 52)) AS r) GROUP BY v, bucket) "
-            "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(max(rank) AS BIGINT) AS rank "
-            "FROM rk GROUP BY bucket"
+            _hll_regs_sql()
+            + " SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rank AS BIGINT) AS rank FROM regs"
+        ),
+        "approx_distinct": (
+            _hll_regs_sql()
+            + ", agg AS (SELECT count(*) AS nb, "
+            "sum(CAST(1 AS HUGEINT) << (53 - rank)) AS s FROM regs), "
+            "c AS (SELECT 4096 - nb AS zeros, "
+            "s + (4096 - nb) * (CAST(1 AS HUGEINT) << 53) AS denom FROM agg), "
+            f"e AS (SELECT zeros, CAST({_HLL_ALPHA!r} AS DOUBLE)*4096*4096 / "
+            "(CAST(denom AS DOUBLE)/9007199254740992.0) AS est0 FROM c) "
+            "SELECT round(CASE WHEN est0 <= 10240.0 AND zeros > 0 "
+            "THEN 4096 * ln(4096.0 / zeros) ELSE est0 END, 6) AS approx_n_distinct FROM e"
         ),
         "doc_fingerprint": (
             _splitmix64_cte(
@@ -1899,6 +1933,10 @@ def oracle_sql() -> dict:
         "phash_dedup": (
             "SELECT min(image_id) AS image_id, phash FROM "
             f"read_parquet('{_synth_images_path()}') GROUP BY phash"
+        ),
+        "image_decode": (
+            "SELECT image_id, phash, phash AS phash_decoded, false AS decode_error "
+            f"FROM read_parquet('{_synth_images_path()}')"
         ),
         "pbf_pruned_read": (
             "SELECT c_custkey AS id, "

@@ -59,10 +59,18 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Registers → cardinality estimate (bias-corrected harmonic mean)."""
+    """Registers → cardinality estimate (bias-corrected harmonic mean).
+
+    The harmonic denominator ``sum(2^-reg)`` is computed EXACTLY as the
+    integer ``sum(2^(53-reg)) / 2^53`` (every term is a power of two, so
+    the whole sum fits a Python int) — float-summation order can round
+    differently, and the DuckDB oracle reproduces the integer form
+    bit-for-bit."""
     m = len(regs)
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+    counts = np.bincount(regs, minlength=54)
+    denom_int = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m / (float(denom_int) / 2.0**53)
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros:  # small-range: linear counting
         return m * float(np.log(m / zeros))
