@@ -1151,6 +1151,23 @@ def _synth_images_path() -> str:
     return path
 
 
+def _polygons_path(n: int = 12) -> str:
+    """Deterministic polygon table written ONCE as parquet: the engine's
+    spatial join and the DuckDB oracle read the SAME float64 ring
+    vertices, so no generator reproduction is needed in SQL."""
+    import os
+
+    import os.path as osp
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = f"{_CACHE_DIR}/polygons_n{n}_s42.parquet"
+    if not osp.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(fixtures.make_polygons(n), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def _synth_images(sf_dir: str) -> pa.Table:
     """Deterministic image table scaled to the sf (capped; wide binary
     rows are the payload, not the bottleneck, in the correctness run)."""
@@ -1248,11 +1265,15 @@ def q_cosine_pairs_exact(sf_dir: str):
 
 def q_image_resize(sf_dir: str):
     """Multimodal resize transform: decode → 16×16 area thumbnail →
-    re-encode, pixels never dataset-wide. Rows-only (bytes output);
-    pytest asserts pixel-level correctness of resize_area."""
+    re-encode, pixels never dataset-wide. Oracled via the box filter's
+    mass-conservation invariant: the twin's dims (16/32/64) all divide
+    16, so the float thumbnail's mean equals the source mean exactly
+    (``mass_resid`` rounds to 0.0) — wrong box weights or off-by-one
+    bins break the hash compare; pytest separately asserts pixel-level
+    correctness of resize_area."""
     from osmpbf_ray.stages.image import ImageResizeStage
 
-    images = rd.from_arrow(_synth_images(sf_dir))
+    images = rd.read_parquet(_synth_images_path())
     out = images.map_batches(
         ImageResizeStage,
         fn_constructor_kwargs={"out_h": 16, "out_w": 16},
@@ -1261,7 +1282,7 @@ def q_image_resize(sf_dir: str):
         batch_size=64,
         concurrency=_conc(8),
     )
-    return out.select_columns(["image_id", "thumb_w", "thumb_h", "decode_error"])
+    return out.select_columns(["image_id", "thumb_w", "thumb_h", "mass_resid", "decode_error"])
 
 
 def q_ngram_verify(sf_dir: str):
@@ -1373,10 +1394,16 @@ def q_hll_registers(sf_dir: str):
 
 
 def q_flagship(sf_dir: str):
-    images = rd.from_arrow(_synth_images(sf_dir))
+    """The headline pipeline itself, hash-gated: decode → ray-cast
+    spatial join → containment rows, over the fixed image/polygon twins.
+    The DuckDB oracle re-derives containment with the SAME even-odd
+    crossing formula over the twin's float64 ring vertices (identical
+    IEEE expression order), so a cell-cover miss, PIP drift, or a decode
+    failure all break the hash compare."""
+    images = rd.read_parquet(_synth_images_path())
     res = flagship_mod.run_flagship(
         images,
-        fixtures.make_polygons(12),
+        pq.read_table(_polygons_path()),
         z_join=12,
         z_tile=6,
         decoder_concurrency=_conc(8),
@@ -1937,6 +1964,27 @@ def oracle_sql() -> dict:
         "image_decode": (
             "SELECT image_id, phash, phash AS phash_decoded, false AS decode_error "
             f"FROM read_parquet('{_synth_images_path()}')"
+        ),
+        "image_resize": (
+            "SELECT image_id, CAST(16 AS INTEGER) AS thumb_w, "
+            "CAST(16 AS INTEGER) AS thumb_h, 0.0 AS mass_resid, "
+            f"false AS decode_error FROM read_parquet('{_synth_images_path()}')"
+        ),
+        "flagship": (
+            # containment re-derived with the engine's even-odd crossing
+            # formula (spatial.points_in_ring) in the SAME IEEE expression
+            # order; both sides read the same float64 twin files
+            f"WITH imgs AS (SELECT image_id, lat, lon, phash FROM read_parquet('{_synth_images_path()}')), "
+            f"p AS (SELECT poly_id, ring FROM read_parquet('{_polygons_path()}')), "
+            "edges AS (SELECT poly_id, ring[i].lat AS y1, ring[i].lon AS x1, "
+            "ring[i+1].lat AS y2, ring[i+1].lon AS x2 FROM p, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ring)-1)) AS i)), "
+            "hits AS (SELECT img.image_id, e.poly_id FROM imgs img JOIN edges e "
+            "ON img.lat >= least(e.y1, e.y2) AND img.lat < greatest(e.y1, e.y2) "
+            "AND img.lon < e.x1 + (img.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1) "
+            "GROUP BY img.image_id, e.poly_id HAVING count(*) % 2 = 1) "
+            "SELECT h.image_id, CAST(h.poly_id AS BIGINT) AS poly_id, i.phash, "
+            "false AS decode_error FROM hits h JOIN imgs i USING (image_id)"
         ),
         "pbf_pruned_read": (
             "SELECT c_custkey AS id, "

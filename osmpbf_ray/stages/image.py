@@ -354,12 +354,18 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def resize_area(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Area-average resize of (h, w, 3) uint8 → (out_h, out_w, 3).
+def resize_area_float(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize of (h, w, 3) uint8 → (out_h, out_w, 3) float64
+    (pre-quantization).
 
     Same reduceat binning as the phash gray path, applied per channel —
     pure numpy, no imaging library. Upsampling repeats source pixels so
-    every output bin has ≥ 1 source pixel (nearest-neighbor growth)."""
+    every output bin has ≥ 1 source pixel (nearest-neighbor growth).
+
+    Invariant used by the ``image_resize`` oracle: when the source dims
+    are multiples of the output dims (uniform bins, no upsampling) the
+    float thumbnail's mean equals the source mean to ~1e-13 relative —
+    area averaging conserves total mass."""
     img = rgb.astype(np.float64)
     if img.shape[0] < out_h:
         img = np.repeat(img, -(-out_h // img.shape[0]), axis=0)
@@ -372,7 +378,12 @@ def resize_area(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     cells = np.add.reduceat(rows, cbins, axis=1)
     rcnt = np.diff(np.append(rbins, h))[:, None, None]
     ccnt = np.diff(np.append(cbins, w))[None, :, None]
-    return np.clip(np.round(cells / (rcnt * ccnt)), 0, 255).astype(np.uint8)
+    return cells / (rcnt * ccnt)
+
+
+def resize_area(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize of (h, w, 3) uint8 → (out_h, out_w, 3) uint8."""
+    return np.clip(np.round(resize_area_float(rgb, out_h, out_w)), 0, 255).astype(np.uint8)
 
 
 class ImageResizeStage:
@@ -393,10 +404,16 @@ class ImageResizeStage:
         fmts = batch.column("fmt").to_pylist()
         out_bytes: list[bytes | None] = []
         errors = np.zeros(len(blobs), dtype=bool)
+        resid = np.zeros(len(blobs), dtype=np.float64)
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 px = decode_image(blob, fmt)
-                out_bytes.append(encode_png(resize_area(px, self.out_h, self.out_w)))
+                thumb_f = resize_area_float(px, self.out_h, self.out_w)
+                # mass-conservation residual: 0.0 (to 6 digits) whenever
+                # source dims divide the output dims — the oracle's probe
+                # for a broken box filter (wrong weights, off-by-one bins)
+                resid[i] = round(float(thumb_f.mean()) - float(px.astype(np.float64).mean()), 6)
+                out_bytes.append(encode_png(np.clip(np.round(thumb_f), 0, 255).astype(np.uint8)))
             except (ValueError, zlib.error):
                 out_bytes.append(None)
                 errors[i] = True
@@ -404,6 +421,7 @@ class ImageResizeStage:
         out = out.append_column("thumb_bytes", pa.array(out_bytes, type=pa.binary()))
         out = out.append_column("thumb_w", pa.array(np.full(len(blobs), self.out_w, dtype=np.int32)))
         out = out.append_column("thumb_h", pa.array(np.full(len(blobs), self.out_h, dtype=np.int32)))
+        out = out.append_column("mass_resid", pa.array(resid, type=pa.float64()))
         out = out.append_column("decode_error", pa.array(errors, type=pa.bool_()))
         return out
 

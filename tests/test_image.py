@@ -115,6 +115,22 @@ def test_image_resize_stage():
     # thumbnails are valid PNGs of the requested size
     px = img.decode_png(out["thumb_bytes"].iloc[0])
     assert px.shape == (16, 16, 3)
+    # box-filter mass conservation: fixture dims (16/32/64) all divide
+    # 16, so the float thumbnail mean equals the source mean exactly
+    # (the image_resize oracle's invariant)
+    assert (out["mass_resid"] == 0.0).all()
+
+
+def test_resize_area_float_mass_conservation():
+    rng = np.random.default_rng(11)
+    for h, w in [(16, 64), (32, 32), (64, 16)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        thumb = img.resize_area_float(px, 16, 16)
+        assert abs(thumb.mean() - px.astype(np.float64).mean()) < 1e-9
+    # non-divisible dims: residual is real but small (weighted-bin drift)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    thumb = img.resize_area_float(px, 16, 16)
+    assert abs(thumb.mean() - px.astype(np.float64).mean()) < 8.0
 
 
 def test_phash_properties():
