@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from osmpbf_ray.functions import joins, mapreduce, partitioning
+from osmpbf_ray.functions import joins, mapreduce, partitioning, temporal
 from osmpbf_ray.pipelines import flagship as flagship_mod
 from osmpbf_ray.pipelines import spatial_join as sj
 from osmpbf_ray.pipelines import tiles as tiles_mod
@@ -1393,6 +1393,49 @@ def q_hll_registers(sf_dir: str):
                      "rank": pa.array(regs[hit].astype(np.int64), type=pa.int64())})
 
 
+_EVENT_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+)
+
+
+def q_asof_join_events(sf_dir: str):
+    """As-of join: each event → the latest order the same user placed at
+    or before the event (orders keyed ``o_custkey`` = events
+    ``user_id``). Ties on ``o_orderdate`` break on the greatest
+    ``o_orderkey`` — the deterministic rule the oracle's ``row_number()
+    OVER (ORDER BY o_orderdate DESC, o_orderkey DESC)`` computes."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "user_id", "o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rs = pa.schema(
+        [("o_orderkey", pa.int64()), ("user_id", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+    )
+    return temporal.asof_join(
+        ev, od, key="user_id", left_on="ts", right_on="o_orderdate",
+        right_cols=["o_orderkey"], tiebreak="o_orderkey",
+        left_schema=_EVENT_SCHEMA, right_schema=rs,
+    )
+
+
+def q_range_join_events(sf_dir: str):
+    """Bounded-interval self range join: each event × same-user events in
+    the trailing 24 h (inclusive both ends; includes the event itself) —
+    the feature-store "activity in window" shape. The window bound is
+    what keeps it scale-safe: matches per row stay O(window density),
+    never O(partition)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    ev2 = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    day_us = 24 * 3600 * 1_000_000
+    return temporal.range_join(
+        ev, ev2, key="user_id", left_on="ts", right_on="ts",
+        right_cols=["event_id"], lower=-day_us, upper=0,
+        left_schema=_EVENT_SCHEMA, right_schema=_EVENT_SCHEMA,
+    )
+
+
 def q_flagship(sf_dir: str):
     """The headline pipeline itself, hash-gated: decode → ray-cast
     spatial join → containment rows, over the fixed image/polygon twins.
@@ -1437,6 +1480,8 @@ def queries() -> dict:
         "token_count_ws": q_token_count_ws,
         "window_agg": q_window_agg,
         "sessionize": q_sessionize,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
         "distinct_count": q_distinct_count,
         "top_cells": q_top_cells,
         "union_orders": q_union_orders,
@@ -1794,6 +1839,19 @@ def oracle_sql() -> dict:
         "window_agg": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "asof_join_events": (
+            "SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey "
+            "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id "
+            "AND o.o_orderdate <= e.ts "
+            "QUALIFY row_number() OVER (PARTITION BY e.event_id "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1"
+        ),
+        "range_join_events": (
+            "SELECT a.event_id, a.user_id, a.ts, b.ts AS ts_r, "
+            "b.event_id AS event_id_r FROM events a JOIN events b "
+            "ON b.user_id = a.user_id "
+            "AND b.ts BETWEEN a.ts - INTERVAL 24 HOUR AND a.ts"
         ),
         "sessionize": (
             "SELECT user_id, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions FROM ("
