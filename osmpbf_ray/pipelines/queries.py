@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from osmpbf_ray.functions import joins, mapreduce, partitioning, temporal
+from osmpbf_ray.functions import blocks, joins, mapreduce, partitioning, temporal
 from osmpbf_ray.pipelines import flagship as flagship_mod
 from osmpbf_ray.pipelines import spatial_join as sj
 from osmpbf_ray.pipelines import tiles as tiles_mod
@@ -47,8 +47,18 @@ _CACHE_DIR = "/tmp/osmpbf_ray_cache"
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    """Column-pruned streaming read (only requested columns leave storage)."""
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned streaming read (only requested columns leave storage).
+
+    The explicit metadata-free schema (one driver-side footer read) stops
+    the testdata's pandas metadata dict riding every block — downstream
+    operators can then hash block schemas for deduplication instead of
+    logging ``Failed to hash the schemas`` per block, and read metadata
+    (``_meta_count``) survives for fan-out sizing."""
+    path = f"{sf_dir}/{table}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch)
 
 
 def _conc(hi: int = 16) -> tuple[int, int]:
@@ -246,10 +256,10 @@ def q_delta_decode(sf_dir: str):
         pk = (batch.column("user_id").to_numpy() % n_parts).astype(np.int64)
         return batch.append_column("__pkey", pa.array(pk))
 
-    def cumsum_part(g: pd.DataFrame) -> pd.DataFrame:
+    def cumsum_part(g: pd.DataFrame):
         g = g.sort_values(["user_id", "event_id"], kind="stable")
         g["running_sum"] = g.groupby("user_id")["event_id"].cumsum().astype(np.int64)
-        return g.drop(columns="__pkey")
+        return blocks.arrow_clean(g.drop(columns="__pkey"))
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
@@ -502,7 +512,7 @@ def q_sessionize(sf_dir: str):
             .rename(columns={"__brk": "n_sessions"})
         )
         out["n_sessions"] = out["n_sessions"].astype(np.int64) + 1
-        return out
+        return blocks.arrow_clean(out)
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
@@ -938,7 +948,7 @@ def _relation_members_ds(sf_dir: str):
                     "stringtable": list(vocab),
                 }
             )
-        return pd.DataFrame(rows)
+        return blocks.arrow_clean(pd.DataFrame(rows))
 
     rel_blocks = (
         li.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)

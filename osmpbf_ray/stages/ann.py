@@ -16,6 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from osmpbf_ray.functions.blocks import arrow_clean
+
 
 def _unit(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -103,8 +105,10 @@ def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id",
         concurrency=concurrency,
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+    def final(g: pd.DataFrame):
+        return arrow_clean(
+            g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        )
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
 
@@ -215,7 +219,9 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
         ProbedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+    def final(g: pd.DataFrame):
+        return arrow_clean(
+            g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        )
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
