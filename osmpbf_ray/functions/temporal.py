@@ -34,13 +34,26 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osmpbf_ray.functions.joins import add_bucket_column
 from osmpbf_ray.functions.partitioning import sized_fanout
 
 
 def _as_i64(col: pa.ChunkedArray) -> np.ndarray:
-    """Numeric view of a key/timestamp column (timestamps → int64 us)."""
+    """Numeric view of a key/timestamp column (timestamps → int64 us).
+
+    Integer columns with nulls must NOT round-trip through float64
+    (``to_numpy`` NaN coercion loses exactness above 2^53): the unified
+    shuffle schema makes every ts/tiebreak column nullable (the other
+    side's rows are typed nulls), so fill nulls at the Arrow layer —
+    the filled zeros land only on the other side's rows, which every
+    consumer discards via ``np.where``/side masks.
+    """
+    if pa.types.is_integer(col.type):
+        return pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
     a = col.to_numpy(zero_copy_only=False)
     if a.dtype.kind == "M":
         return a.astype("datetime64[us]").view(np.int64)
@@ -65,8 +78,13 @@ def _tag(batch: pa.Table, side: int, unified: pa.Schema, colmap: dict) -> pa.Tab
     for f in unified:
         if f.name == "__side":
             cols.append(pa.array(np.full(n, side, dtype=np.int8)))
-        elif colmap.get(f.name) in batch.schema.names:
-            col = batch.column(colmap[f.name])
+            continue
+        # 'bucket' is appended by add_bucket_column, not part of either
+        # input schema — pass it through so the co-partition shuffle is
+        # real (nulling it would collapse groupby into one reducer)
+        src = "bucket" if f.name == "bucket" else colmap.get(f.name)
+        if src in batch.schema.names:
+            col = batch.column(src)
             cols.append(col if col.type == f.type else col.cast(f.type))
         else:
             cols.append(pa.nulls(n, type=f.type))

@@ -155,7 +155,7 @@ def spatial_join(
 
 def spatial_join_partitioned(points_ds, polygons_ds, z: int = 12,
                              id_col: str = "image_id",
-                             n_parts: int | None = None, **_compat):
+                             n_parts: int | None = None):
     """points × polygons when the polygon side is TOO BIG to broadcast.
 
     Two co-partitioned phases, IDS-ONLY through the wide shuffle (the

@@ -62,15 +62,18 @@ def hll_estimate(regs: np.ndarray) -> float:
     """Registers → cardinality estimate (bias-corrected harmonic mean).
 
     The harmonic denominator ``sum(2^-reg)`` is computed EXACTLY as the
-    integer ``sum(2^(53-reg)) / 2^53`` (every term is a power of two, so
+    integer ``sum(2^(64-reg)) / 2^64`` (every term is a power of two, so
     the whole sum fits a Python int) — float-summation order can round
     differently, and the DuckDB oracle reproduces the integer form
-    bit-for-bit."""
+    bit-for-bit (the oracle scales by 2^53, which is the same value:
+    rescaling by a power of two is exact in IEEE double). Scaling by
+    2^64 keeps the shift non-negative for ANY rank (rank reaches
+    64-p+1, which exceeds 53 for the small-p sketches)."""
     m = len(regs)
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    counts = np.bincount(regs, minlength=54)
-    denom_int = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
-    est = alpha * m * m / (float(denom_int) / 2.0**53)
+    counts = np.bincount(regs)
+    denom_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = alpha * m * m / (float(denom_int) / 2.0**64)
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros:  # small-range: linear counting
         return m * float(np.log(m / zeros))

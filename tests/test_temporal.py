@@ -98,6 +98,49 @@ def test_range_join_matches_brute_force():
     assert got == expect
 
 
+def test_tag_preserves_bucket_column():
+    """The co-partition contract is real only if the 'bucket' column
+    added by add_bucket_column passes through _tag — nulling it would
+    collapse groupby('bucket') into ONE reducer (correct output, no
+    parallelism, unbounded per-group memory)."""
+    from osmpbf_ray.functions.joins import add_bucket_column
+
+    left = _mk(list(range(64)), list(range(64)), [0] * 64)
+    unified, rename = temporal._unified(LS, RS, ["rt", "rid"])
+    tagged = temporal._tag(
+        add_bucket_column(left, "k", 8), 1, unified, {c: c for c in LS.names}
+    )
+    buckets = tagged.column("bucket")
+    assert buckets.null_count == 0
+    assert len(set(buckets.to_pylist())) > 1  # multi-valued, not constant
+
+
+def test_as_i64_exact_above_2_53():
+    """Nullable int64 must not round-trip through float64: values above
+    2^53 would silently lose low bits (the unified shuffle schema makes
+    every ts column nullable)."""
+    big = (1 << 60) + 1  # not representable in float64
+    col = pa.chunked_array([pa.array([big, None, big + 2], type=pa.int64())])
+    out = temporal._as_i64(col)
+    assert out[0] == big and out[2] == big + 2
+
+
+def test_asof_join_exact_keys_above_2_53():
+    """End-to-end: as-of ts above 2^53 must join exactly (off-by-one
+    timestamps distinguish matches only if no float coercion happens)."""
+    base = 1 << 60
+    left = _mk([1, 2], [5, 5], [base + 2, base + 1])
+    right = _right([10, 11], [5, 5], [base + 2, base + 1])
+    out = temporal.asof_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        key="k", left_on="t", right_on="rt", right_cols=["rid"],
+        tiebreak="rid", left_schema=LS, right_schema=RS, n_buckets=2,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    # left t=base+2 → right rt=base+2 (rid 10); left t=base+1 → rid 11
+    assert out.iloc[0]["rid"] == 10 and out.iloc[0]["rt"] == base + 2
+    assert out.iloc[1]["rid"] == 11 and out.iloc[1]["rt"] == base + 1
+
+
 def test_range_join_empty_and_bounds():
     left = _mk([1], [5], [100])
     empty_right = _right([], [], [])
