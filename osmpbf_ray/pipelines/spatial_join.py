@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray
 
 from osmpbf_ray.stages import spatial
+from osmpbf_ray.stages.ann import round_half_away as ann_round_half_away
 
 
 def polygon_arrays(polygons: pa.Table) -> list[dict]:
@@ -337,13 +338,24 @@ class KnnStage:
 
     The reference-point index (CellPointIndex) is built once per actor
     from a broadcast array; per row we do a k-ring candidate lookup +
-    exact haversine refine — the engine's H3-kRing-expansion kNN.
+    exact refine — the engine's H3-kRing-expansion kNN.
+
+    ``metric``: ``"haversine"`` (default; meters, numpy trig — not
+    SQL-reproducible bit-for-bit) or ``"planar_deg"`` (rounded-to-9
+    planar degree distance with neighbor-id tie-break — the SAME
+    composite ``knn_join_exact`` ranks on, so when the ring expansion
+    covers the true top-k the k-ring path is bit-equal to the exact
+    baseline and shares its SQL oracle).
     """
 
-    def __init__(self, ref_points_ref, k: int = 5, z: int = 9):
+    def __init__(self, ref_points_ref, k: int = 5, z: int = 9,
+                 metric: str = "haversine"):
+        if metric not in ("haversine", "planar_deg"):
+            raise ValueError(f"unknown metric {metric!r}")
         ids, lat, lon = ray.get(ref_points_ref)
         self.index = spatial.CellPointIndex(ids, lat, lon, z=z)
         self.k = k
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy()
@@ -363,15 +375,49 @@ class KnnStage:
         order = np.argsort(cells, kind="stable")
         bounds = np.flatnonzero(np.diff(cells[order])) + 1
         for grp in np.split(order, bounds):
-            cand = self.index.ring_candidates(int(cells[grp[0]]), k)
-            if len(cand) == 0:
-                continue
-            d = spatial.haversine_m(
-                lat[grp][:, None], lon[grp][:, None],
-                self.index.lat[cand][None, :], self.index.lon[cand][None, :],
-            )
+            qcell = int(cells[grp[0]])
+            if self.metric == "haversine":
+                cand = self.index.ring_candidates(qcell, k)
+                if len(cand) == 0:
+                    continue
+                d = spatial.haversine_m(
+                    lat[grp][:, None], lon[grp][:, None],
+                    self.index.lat[cand][None, :], self.index.lon[cand][None, :],
+                )
+                top = np.argsort(d, axis=1, kind="stable")
+            else:
+                # planar_deg: wrapped-lon planar metric, rounded, id
+                # tie-break (the oracle composite) — EXACT: rings keep
+                # expanding until the group's worst k-th candidate
+                # distance is certified (ring_bound_deg) closer than any
+                # unexplored cell could be
+                r, d = 1, None
+                while True:
+                    cand = self.index._points_in_cells(spatial.k_ring(qcell, r))
+                    bound = self.index.ring_bound_deg(qcell, r)
+                    grid_done = bound == float("inf")
+                    if len(cand) >= min(k, len(self.index.ids)) or grid_done:
+                        if len(cand):
+                            dlat = lat[grp][:, None] - self.index.lat[cand][None, :]
+                            dlon = np.abs(lon[grp][:, None] - self.index.lon[cand][None, :])
+                            dlon = np.minimum(dlon, 360.0 - dlon)
+                            d = ann_round_half_away(np.sqrt(dlat * dlat + dlon * dlon), 9)
+                            kk = min(k, len(cand))
+                            worst_kth = np.partition(d, kk - 1, axis=1)[:, kk - 1].max()
+                            # 1e-6 slack absorbs the 1e-9 rounding of d
+                            # (the bound itself is raw geometry)
+                            if grid_done or worst_kth <= bound - 1e-6:
+                                break
+                        elif grid_done:
+                            break  # whole grid searched, no refs at all
+                    r *= 2
+                if len(cand) == 0:
+                    continue
+                top = np.lexsort(
+                    (np.broadcast_to(self.index.ids[cand], d.shape), d), axis=1
+                )
             kk = min(k, len(cand))
-            top = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            top = top[:, :kk]
             nn_ids[grp[:, None], np.arange(kk)[None, :]] = self.index.ids[cand][top]
             nn_d[grp[:, None], np.arange(kk)[None, :]] = np.take_along_axis(d, top, axis=1)
         return batch.append_column(
@@ -379,15 +425,55 @@ class KnnStage:
         ).append_column("nn_dist_m", pa.array(list(nn_d), type=pa.list_(pa.float64())))
 
 
-def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9, concurrency=(1, 4)):
+def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9,
+             concurrency=(1, 4), metric: str = "haversine"):
     ref = ray.put((np.asarray(ref_ids), np.asarray(ref_lat), np.asarray(ref_lon)))
     return points_ds.map_batches(
         KnnStage,
-        fn_constructor_kwargs={"ref_points_ref": ref, "k": k, "z": z},
+        fn_constructor_kwargs={"ref_points_ref": ref, "k": k, "z": z,
+                               "metric": metric},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+def explode_knn(ds, id_col: str = "c_custkey"):
+    """(id, nn_ids list, nn_dist list) → one row per (id, rank, nn_id) —
+    the same exploded shape ``knn_join_exact`` emits, so the k-ring path
+    can be compared row-for-row against the exact baseline / SQL oracle.
+    Unfilled slots (nn_id == -1, no candidates) are dropped."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "nn_id": pa.array([], type=pa.int64()),
+            "dist_deg": pa.array([], type=pa.float64()),
+        })
+        if n == 0:
+            return empty
+        ids = batch.column(id_col).to_numpy()
+        nn = batch.column("nn_ids").combine_chunks()
+        dist = batch.column("nn_dist_m").combine_chunks()
+        lens = np.diff(nn.offsets.to_numpy(zero_copy_only=False))
+        flat_nn = nn.flatten().to_numpy(zero_copy_only=False)
+        flat_d = dist.flatten().to_numpy(zero_copy_only=False)
+        ranks = np.concatenate([np.arange(1, ln + 1, dtype=np.int64) for ln in lens]) \
+            if n else np.empty(0, dtype=np.int64)
+        rep = np.repeat(ids, lens)
+        keep = flat_nn != -1
+        if not keep.any():
+            return empty
+        return pa.table({
+            id_col: rep[keep],
+            "rank": ranks[keep],
+            "nn_id": flat_nn[keep],
+            "dist_deg": flat_d[keep],
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def knn_join_exact(points_ds, ref_ids, ref_lat, ref_lon, k: int = 3,

@@ -205,6 +205,16 @@ IMAGES_SCHEMA = pa.schema(
     ]
 )
 
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.int64()),
+        ("pcm", pa.binary()),  # opaque payload: little-endian 16-bit PCM
+        ("codec", pa.string()),  # "pcm_s16le" | (stubbed: "mp3"/"ogg"/...)
+        ("sr", pa.int64()),  # sample rate, Hz
+        ("n_samples", pa.int64()),
+    ]
+)
+
 POLYGONS_SCHEMA = pa.schema(
     [
         ("poly_id", pa.int64()),

@@ -438,3 +438,36 @@ def make_polygons(n: int = 30, seed: int = SEED) -> pa.Table:
         )
         rows.append({"poly_id": i, "ring": ring, "tags": tags})
     return pa.Table.from_pylist(rows, schema=schema.POLYGONS_SCHEMA)
+
+
+# --- audio table ------------------------------------------------------------
+
+
+def make_audio(n: int = 64, n_samples: int = 2048, sr: int = 16000) -> pa.Table:
+    """Audio table: opaque little-endian int16 PCM payload + typed
+    metadata, per the multimodal-column contract (schema.AUDIO_SCHEMA).
+
+    Sample j of clip i is ``splitmix64(i * 2^32 + j) % 2^16 - 32768`` —
+    deterministic under any partitioning AND integer-exactly
+    reproducible in DuckDB via the shared splitmix64 CTE, so per-window
+    features computed from the DECODED BYTES can be hash-compared
+    against an oracle that re-derives the samples from first principles
+    (queries.q_audio_features)."""
+    from osmpbf_ray.stages.text import splitmix64
+
+    ids = np.arange(n, dtype=np.uint64)
+    keys = (ids[:, None] << np.uint64(32)) + np.arange(n_samples, dtype=np.uint64)[None, :]
+    samples = (splitmix64(keys) & np.uint64(0xFFFF)).astype(np.int64) - 32768
+    pcm = samples.astype("<i2").tobytes()
+    step = 2 * n_samples
+    return pa.table(
+        {
+            "audio_id": ids.astype(np.int64),
+            "pcm": pa.array([pcm[i * step:(i + 1) * step] for i in range(n)],
+                            type=pa.binary()),
+            "codec": pa.array(["pcm_s16le"] * n),
+            "sr": pa.array([sr] * n, type=pa.int64()),
+            "n_samples": pa.array([n_samples] * n, type=pa.int64()),
+        },
+        schema=schema.AUDIO_SCHEMA,
+    )

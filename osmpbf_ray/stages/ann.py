@@ -151,7 +151,10 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
     """IVF search: assign rows to coarse lists once, search only the
     ``n_probe`` lists nearest each query. Approximate (recall < 1 when the
     true neighbor's list isn't probed) — the scale path next to
-    ``brute_force_topk``'s exact baseline."""
+    ``brute_force_topk``'s exact baseline. With ``n_probe == n_centroids``
+    every list is probed, each row is scanned exactly once, and the
+    result is bit-equal to ``brute_force_topk`` (same rounded-cosine +
+    id-tie-break ranking) — which is how the SQL oracle checks it."""
     sample_rows = ds.select_columns([vec_col]).take(sample_size)
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
     cent = train_centroids(sample, n_centroids, seed=seed)
@@ -194,13 +197,18 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
                 if not qrows:
                     continue
                 rows = np.flatnonzero(lists == li)
-                sim = vecs[rows] @ self.q[qrows].T
+                # rank on ROUNDED cosine with id tie-break — the same
+                # composite BruteForceTopK uses, so full-probe IVF
+                # (n_probe == n_centroids) is bit-equal to brute force
+                # and shares its SQL oracle
+                sim = round_half_away(vecs[rows] @ self.q[qrows].T, 9)
                 kk = min(k, len(rows))
-                top = np.argpartition(-sim, kk - 1, axis=0)[:kk]
+                rid = ids[rows]
                 for j, qi in enumerate(qrows):
+                    top = np.lexsort((rid, -sim[:, j]))[:kk]
                     out_q.append(np.full(kk, self.qids[qi]))
-                    out_id.append(ids[rows[top[:, j]]])
-                    out_sim.append(sim[top[:, j], j])
+                    out_id.append(rid[top])
+                    out_sim.append(sim[top, j])
             if not out_q:
                 return pa.table(
                     {"query_id": pa.array([], type=pa.int64()),

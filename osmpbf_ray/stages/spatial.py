@@ -223,6 +223,35 @@ class CellPointIndex:
         out = [self._order[a:b] for a, b in zip(lo, hi) if b > a]
         return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
+    def ring_bound_deg(self, qcell: int, r: int) -> float:
+        """Conservative lower bound on the wrapped planar-degree distance
+        from ANY point inside ``qcell`` to ANY point in a cell OUTSIDE
+        Chebyshev ring ``r`` — the certificate that makes k-ring kNN
+        exact: once the k-th candidate's distance is <= this bound, no
+        unexplored cell can hold a closer point. Returns ``inf`` when
+        ring ``r`` already covers the whole (wrapped-x, pole-clamped-y)
+        grid.
+
+        x is uniform in degrees (360/2^z per cell); y tiles are Mercator,
+        so the latitude bound multiplies ``r`` by the MINIMUM tile height
+        in the band the ring spans.
+        """
+        z, x, y = unpack_cell(np.asarray([qcell]))
+        z, y = int(z[0]), int(y[0])
+        n = 1 << z
+        covered_x = (2 * r + 1) >= n
+        covered_y = (y - r) < 0 and (y + r) > n - 1
+        if covered_x and covered_y:
+            return float("inf")
+        bx = r * (360.0 / n) if not covered_x else float("inf")
+        if covered_y:
+            by = float("inf")
+        else:
+            ys = np.arange(max(0, y - r - 1), min(n, y + r + 2) + 1, dtype=np.float64)
+            lat_tops = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys / n))))
+            by = r * float(np.min(-np.diff(lat_tops)))
+        return min(bx, by)
+
     def ring_candidates(self, qcell: int, k: int, max_ring: int = 64) -> np.ndarray:
         """Candidate indices for a query cell: expand k-rings until >= k
         found, then one guard ring (a point just outside the searched

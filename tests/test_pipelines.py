@@ -222,3 +222,48 @@ def test_write_flagship_resumable(tmp_path):
     a = sorted(zip(resumed.column("image_id").to_pylist(), resumed.column("poly_id").to_pylist()))
     b = sorted(zip(full.column("image_id").to_pylist(), full.column("poly_id").to_pylist()))
     assert a == b
+
+
+def test_knn_planar_kring_exact_vs_brute_force():
+    """planar_deg k-ring kNN is EXACT (certified ring coverage incl.
+    antimeridian wrap): ids and distances equal the wrapped-planar
+    brute force for every point, including points near lon=±180."""
+    from osmpbf_ray.stages.ann import round_half_away
+
+    rng = np.random.default_rng(11)
+    n_ref = 40
+    ref_lat = rng.uniform(-60, 60, n_ref)
+    ref_lon = rng.uniform(-179.9, 179.9, n_ref)
+    # query points clustered at the antimeridian + uniform spread
+    qlat = np.concatenate([rng.uniform(-50, 50, 20), rng.uniform(-60, 60, 40)])
+    qlon = np.concatenate([rng.choice([-179.5, 179.5], 20), rng.uniform(-180, 180, 40)])
+    pts = pa.table({"image_id": np.arange(len(qlat)), "lat": qlat, "lon": qlon})
+    out = spatial_join.explode_knn(
+        spatial_join.knn_join(
+            rd.from_arrow(pts), np.arange(n_ref), ref_lat, ref_lon,
+            k=3, z=5, concurrency=2, metric="planar_deg",
+        ),
+        id_col="image_id",
+    ).to_pandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
+    dlat = qlat[:, None] - ref_lat[None, :]
+    dlon = np.abs(qlon[:, None] - ref_lon[None, :])
+    dlon = np.minimum(dlon, 360.0 - dlon)
+    d = round_half_away(np.sqrt(dlat**2 + dlon**2), 9)
+    order = np.lexsort((np.broadcast_to(np.arange(n_ref), d.shape), d), axis=1)[:, :3]
+    assert (out["nn_id"].to_numpy() == order.ravel()).all()
+    assert (out["dist_deg"].to_numpy() == np.take_along_axis(d, order, axis=1).ravel()).all()
+
+
+def test_knn_planar_fewer_refs_than_k():
+    """k > #refs: the grid is exhausted and every ref is returned."""
+    pts = pa.table({"image_id": np.array([0, 1]), "lat": np.array([0.0, 45.0]),
+                    "lon": np.array([0.0, 170.0])})
+    out = spatial_join.explode_knn(
+        spatial_join.knn_join(
+            rd.from_arrow(pts), np.array([7, 9]), np.array([10.0, -30.0]),
+            np.array([-20.0, 100.0]), k=5, z=6, concurrency=2, metric="planar_deg",
+        ),
+        id_col="image_id",
+    ).to_pandas()
+    assert len(out) == 4  # 2 points × 2 refs
+    assert set(out["nn_id"]) == {7, 9}
