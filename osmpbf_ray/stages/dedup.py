@@ -36,6 +36,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from osmpbf_ray.functions.blocks import arrow_clean
+from osmpbf_ray.functions.joins import splitmix_u64
+from osmpbf_ray.stages.ann import vecs_to_numpy
 from osmpbf_ray.stages.image import hamming64
 from osmpbf_ray.stages.text import splitmix64, token_hashes
 
@@ -303,8 +305,77 @@ def _collect_ids(pairs_ds) -> np.ndarray:
     return np.unique(np.concatenate([t.column("id_a").to_numpy(), t.column("id_b").to_numpy()]))
 
 
+def candidate_semi_join(source_ds, id_col: str, pairs_ds, cols: list[str],
+                        broadcast_bytes: int | None = None):
+    """Rows of ``source_ds[cols]`` whose id appears in any candidate
+    pair — the head of every LSH verify phase, size-gated by the
+    MEASURED pair-table size (``pairs_ds`` arrives materialized, so
+    ``size_bytes`` is exact):
+
+    * pairs ≤ ``broadcast_bytes`` (default 64 MiB): unique ids collect
+      on the driver (ids ONLY — two int64 columns, strictly smaller
+      than the pair table) and broadcast once via ``ray.put``; each
+      worker filters map-side. The common case: LSH candidates are
+      bounded by true near-dups + band collisions.
+    * larger: FULLY DISTRIBUTED — per-batch unique ids → hash-
+      partitioned global distinct → partitioned hash semi-join against
+      the source. Nothing ever materializes on the driver, so a
+      dup-heavy 100 TB corpus (where the candidate bound is the output
+      size) streams through co-partitioned exchanges.
+
+    Returns ``None`` when the candidate set is provably empty (broadcast
+    path only — the distributed path just flows empty tables through).
+    """
+    import ray
+
+    from osmpbf_ray.functions.joins import broadcast_semi_join, partitioned_hash_join
+
+    if broadcast_bytes is None:
+        broadcast_bytes = _BROADCAST_PAYLOAD_BYTES
+    try:
+        pair_bytes = pairs_ds.size_bytes()
+    except Exception:
+        pair_bytes = None
+    source = source_ds.select_columns(cols)
+    if pair_bytes is not None and pair_bytes <= broadcast_bytes:
+        cand_ids = _collect_ids(pairs_ds)
+        if len(cand_ids) == 0:
+            return None
+        return broadcast_semi_join(source, id_col, ray.put(cand_ids))
+
+    def batch_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        u = np.unique(np.concatenate([batch.column("id_a").to_numpy(),
+                                      batch.column("id_b").to_numpy()]))
+        return pa.table({id_col: u})
+
+    ids_ds = pairs_ds.map_batches(batch_ids, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    n_parts = _fanout_for(pairs_ds)
+
+    def add_ipkey(batch: pa.Table) -> pa.Table:
+        k = splitmix_u64(batch.column(id_col).to_numpy())
+        return batch.append_column(
+            "ipkey", pa.array((k % np.uint64(n_parts)).view(np.int64)))
+
+    def distinct(g: pd.DataFrame):
+        return arrow_clean(g.drop_duplicates([id_col])[[id_col]])
+
+    distinct_ids = (
+        ids_ds.map_batches(add_ipkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ipkey")
+        .map_groups(distinct, batch_format="pandas")
+    )
+    return partitioned_hash_join(
+        source, distinct_ids, key=id_col, how="inner",
+        right_schema=pa.schema([(id_col, pa.int64())]),
+    )
+
+
 def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
-                            k=5, n_perm=64, n_bands=16, threshold=0.7, concurrency=None):
+                            k=5, n_perm=64, n_bands=16, threshold=0.7,
+                            concurrency=None, broadcast_bytes=None):
     """MinHash+LSH near-dup: pairs with estimated Jaccard ≥ threshold.
 
     Phase 1: banded LSH on ids only. Phase 2: recompute full signatures
@@ -314,10 +385,7 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
     driver-materialized payload dict (round 2 shipped one; on a
     dup-heavy corpus the candidate bound IS the output size).
     """
-    import ray
     import ray.data as rd
-
-    from osmpbf_ray.functions.joins import broadcast_semi_join
 
     exploded = ds.map_batches(
         MinHashStage(id_col=id_col, text_col=text_col, k=k, n_perm=n_perm, n_bands=n_bands),
@@ -331,14 +399,11 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
         _bucketed_pairs(exploded, ["band", "band_hash"], id_col,
                         _candidate_pair_fn, _candidate_pairs_empty,
                         n_parts=_fanout_for(ds, n_bands))
-    ).materialize()  # consumed by _collect_ids AND the verify stage
-    cand_ids = _collect_ids(pairs)
-    if len(cand_ids) == 0:
+    ).materialize()  # consumed by the size gate AND the verify stage
+    cand_docs = candidate_semi_join(ds, id_col, pairs, [id_col, text_col],
+                                    broadcast_bytes=broadcast_bytes)
+    if cand_docs is None:
         return rd.from_arrow(empty)
-
-    cand_docs = broadcast_semi_join(
-        ds.select_columns([id_col, text_col]), id_col, ray.put(cand_ids)
-    )
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         sigs = minhash_signatures(batch.column(text_col).to_pylist(), k, n_perm)
@@ -599,28 +664,23 @@ def phash_exact_dedup(images_ds):
 
 
 def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
-                        threshold=0.5):
+                        threshold=0.5, broadcast_bytes=None):
     """Exact n-gram Jaccard verify for candidate pairs.
 
-    Fetches ONLY the candidate docs' texts (broadcast semi-join on the
-    candidate id set), then attaches them to the pair table through
-    distributed hash joins on id_a/id_b — no driver-side text dict at
-    any corpus or candidate size."""
-    import ray
-
-    from osmpbf_ray.functions.joins import broadcast_semi_join
-
+    Fetches ONLY the candidate docs' texts (size-gated semi-join on the
+    candidate id set — see ``candidate_semi_join``), then attaches them
+    to the pair table through distributed hash joins on id_a/id_b — no
+    driver-side text dict at any corpus or candidate size."""
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
                       "id_b": pa.array([], type=pa.int64()),
                       "jaccard": pa.array([], type=pa.float64())})
-    cand_ids = _collect_ids(pairs_ds)
-    if len(cand_ids) == 0:
+    pairs_ds = pairs_ds.materialize()  # size gate + verify both consume it
+    cand_docs = candidate_semi_join(ds, id_col, pairs_ds, [id_col, text_col],
+                                    broadcast_bytes=broadcast_bytes)
+    if cand_docs is None:
         import ray.data as rd
 
         return rd.from_arrow(empty)
-    cand_docs = broadcast_semi_join(
-        ds.select_columns([id_col, text_col]), id_col, ray.put(cand_ids)
-    )
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -666,8 +726,6 @@ class HyperplaneBandStage:
         self.n_bands, self.bits = n_bands, bits_per_band
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from osmpbf_ray.stages.ann import vecs_to_numpy
-
         n = batch.num_rows
         if n == 0:
             return pa.table({self.id_col: pa.array([], type=pa.int64()),
@@ -687,7 +745,7 @@ class HyperplaneBandStage:
 
 def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
                              threshold=0.9, n_bands=64, bits_per_band=16,
-                             seed=7, concurrency=None):
+                             seed=7, concurrency=None, broadcast_bytes=None):
     """Near-dup by cosine ≥ threshold: banded hyperplane LSH candidates
     (ids only through the shuffle) + exact cosine verify on candidates.
 
@@ -702,8 +760,7 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
     import ray
     import ray.data as rd
 
-    from osmpbf_ray.functions.joins import broadcast_semi_join
-    from osmpbf_ray.stages.ann import round_half_away, vecs_to_numpy
+    from osmpbf_ray.stages.ann import round_half_away
 
     first = ds.take(1)
     empty = pa.table({"id_a": pa.array([], type=pa.int64()),
@@ -723,14 +780,11 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
         _bucketed_pairs(exploded, ["band", "band_key"], id_col,
                         _candidate_pair_fn, _candidate_pairs_empty,
                         n_parts=_fanout_for(ds, n_bands))
-    ).materialize()  # consumed by _collect_ids AND the verify stage
-    cand_ids = _collect_ids(pairs)
-    if len(cand_ids) == 0:
+    ).materialize()  # consumed by the size gate AND the verify stage
+    cand_vec_ds = candidate_semi_join(ds, id_col, pairs, [id_col, vec_col],
+                                      broadcast_bytes=broadcast_bytes)
+    if cand_vec_ds is None:
         return rd.from_arrow(empty)
-
-    cand_vec_ds = broadcast_semi_join(
-        ds.select_columns([id_col, vec_col]), id_col, ray.put(cand_ids)
-    )
 
     def unit_rows(batch: pa.Table) -> pa.Table:
         """Unit vectors as fixed-width float64 binary — the payload the

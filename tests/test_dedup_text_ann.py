@@ -254,3 +254,26 @@ def test_ivf_topk_recall():
         got = set(out[out["query_id"] == q]["vec_id"].tolist())
         recalls.append(len(got & expect) / 5)
     assert np.mean(recalls) >= 0.6  # probing half the lists: decent recall
+
+
+def test_candidate_semi_join_paths_identical():
+    """The LSH verify head's size gate: broadcast (<=64 MiB) and fully
+    distributed (forced via broadcast_bytes=0) candidate fetches must
+    produce byte-identical verified pairs."""
+    docs = _docs_table(n=120, dup_pairs=20)
+    ds = rd.from_arrow(docs)
+
+    def key(df):
+        return sorted(zip(df["id_a"], df["id_b"], df["est_jaccard"]))
+
+    a = dedup.minhash_candidate_pairs(ds, threshold=0.7).to_pandas()
+    b = dedup.minhash_candidate_pairs(ds, threshold=0.7, broadcast_bytes=0).to_pandas()
+    assert len(a) > 0
+    assert key(a) == key(b)
+
+    pairs = dedup.minhash_candidate_pairs(ds, threshold=0.7)
+    ja = dedup.ngram_jaccard_pairs(rd.from_arrow(docs), pairs).to_pandas()
+    jb = dedup.ngram_jaccard_pairs(rd.from_arrow(docs), pairs,
+                                   broadcast_bytes=0).to_pandas()
+    assert sorted(zip(ja["id_a"], ja["id_b"], ja["jaccard"])) == \
+        sorted(zip(jb["id_a"], jb["id_b"], jb["jaccard"]))
