@@ -573,7 +573,10 @@ def q_union_orders(sf_dir: str):
 # --- 21. composite: 3-way join + aggregate + top-k (TPC-H Q3 shape) ---------
 
 
-def q_shipping_priority(sf_dir: str):
+_SHIP_BROADCAST_BYTES = 64 << 20
+
+
+def q_shipping_priority(sf_dir: str, broadcast_bytes: int | None = None):
     """BUILDING-segment customers, orders before / lineitems shipped after
     1998-06-01; revenue per order in exact integer micro-money
     (cents × basis-points) so parallel summation matches SQL bit-for-bit;
@@ -581,15 +584,19 @@ def q_shipping_priority(sf_dir: str):
 
     100-TB shape (the round-1 version final-reduced every lineitem
     partial on the driver): broadcast semi-joins narrow both streams, the
-    per-order final reduce is a DISTRIBUTED ``groupby.aggregate(Sum)``
-    over pre-aggregated Arrow partials, and the top-k is a distributed
-    ``sort + limit``. Only the qualifying orders' two-column
-    (key, date) table and the final 10 rows ever touch the driver; at
-    scales where even that filtered order list outgrows a broadcast,
-    swap the date attach for ``partitioned_hash_join``.
+    per-order final reduce is a DISTRIBUTED hash-partitioned Arrow
+    group_by, and the top-k is a per-block combiner + tiny driver final.
+    The qualifying-order (key, date) table is SIZE-GATED on its measured
+    bytes: small → driver concat + broadcast semi-join (one pass over
+    lineitem touches only qualifying orders); large → the (key, date)
+    table never leaves the cluster — lineitem partials flow through a
+    ``partitioned_hash_join`` on ``o_orderkey`` that is simultaneously
+    the semi-join and the date attach.
     """
     import ray as _ray
 
+    if broadcast_bytes is None:
+        broadcast_bytes = _SHIP_BROADCAST_BYTES
     cutoff = pd.Timestamp("1998-06-01")
     empty = pa.table(
         {
@@ -615,12 +622,7 @@ def q_shipping_priority(sf_dir: str):
     )
     co_ds = joins.broadcast_semi_join(orders, "o_custkey", keys_ref).select_columns(
         ["o_orderkey", "o_orderdate"]
-    )
-    co_tbls = [t for t in _ray.get(co_ds.to_arrow_refs()) if t.num_rows]
-    if not co_tbls:
-        return empty
-    co = pa.concat_tables(co_tbls, promote_options="default")
-    okeys_ref = _ray.put(co.column("o_orderkey").to_numpy())
+    ).materialize()  # measured by the size gate; consumed once below
 
     def li_partial(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cutoff.to_pydatetime())))
@@ -632,11 +634,44 @@ def q_shipping_priority(sf_dir: str):
         g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
         return g.rename_columns(["o_orderkey", "rev"])
 
+    co_rows = co_ds.count()  # materialized → plan metadata, no re-execution
+    if co_rows == 0:
+        return empty
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    small = co_ds.size_bytes() <= broadcast_bytes
+    if small:
+        co = pa.concat_tables(
+            [t for t in _ray.get(co_ds.to_arrow_refs()) if t.num_rows],
+            promote_options="default",
+        )
+        okeys_ref = _ray.put(co.column("o_orderkey").to_numpy())
+        partials = joins.broadcast_semi_join(li, "l_orderkey", okeys_ref).map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        group_cols = ["o_orderkey"]
+    else:
+        # qualifying orders too big to broadcast: the (key, date) table
+        # stays distributed — one partitioned hash join is both the
+        # semi-join (inner) and the date attach
+        co = None
+        partials = joins.partitioned_hash_join(
+            li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+            co_ds,
+            key="o_orderkey",
+            how="inner",
+            left_schema=pa.schema([("o_orderkey", pa.int64()), ("rev", pa.int64())]),
+            right_schema=co_ds.schema().base_schema,
+        )
+        group_cols = ["o_orderkey", "o_orderdate"]
+
     # final per-order reduce: hash-partition to an input-sized fan-out and
     # run ONE vectorized Arrow group_by per partition — Ray's per-key
     # aggregate paid a sort-shuffle plus per-key costs over ~#orders
     # distinct keys (the round-2 bench's largest fixed cost, ~4 s at sf0.1)
-    n_parts = partitioning.sized_fanout(co.num_rows)
+    n_parts = partitioning.sized_fanout(co_rows)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         pk = (joins.splitmix_u64(batch.column("o_orderkey").to_numpy())
@@ -644,22 +679,13 @@ def q_shipping_priority(sf_dir: str):
         return batch.append_column("__pkey", pa.array(pk))
 
     def sum_part(g: pa.Table) -> pa.Table:
-        out = g.select(["o_orderkey", "rev"]).group_by("o_orderkey").aggregate(
+        out = g.select(group_cols + ["rev"]).group_by(group_cols).aggregate(
             [("rev", "sum")]
         )
-        return out.rename_columns(["o_orderkey", "revenue_micro"])
+        return out.rename_columns(group_cols + ["revenue_micro"])
 
     rev = (
-        joins.broadcast_semi_join(
-            _read(
-                sf_dir,
-                "lineitem",
-                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-            ),
-            "l_orderkey",
-            okeys_ref,
-        )
-        .map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        partials
         .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__pkey")
         .map_groups(sum_part, batch_format="pyarrow")
@@ -688,8 +714,10 @@ def q_shipping_priority(sf_dir: str):
     r = allt.column("revenue_micro").to_numpy()
     o = allt.column("o_orderkey").to_numpy()
     top = allt.take(pa.array(np.lexsort((o, -r))[:10]))
-    # attach the order date: 10-row final vs the broadcast-sized co table
-    out = top.join(co, keys="o_orderkey", join_type="inner").sort_by(
+    if co is not None:
+        # attach the order date: 10-row final vs the broadcast-sized co table
+        top = top.join(co, keys="o_orderkey", join_type="inner")
+    out = top.sort_by(
         [("revenue_micro", "descending"), ("o_orderkey", "ascending")]
     )
     return out.select(["o_orderkey", "o_orderdate", "revenue_micro"])

@@ -72,3 +72,15 @@ def test_splitmix64_sql_bit_exact(con):
     got = con.execute(sql).df()["h"].to_numpy().astype(np.uint64)
     exp = splitmix64(np.sort(keys).view(np.uint64))
     assert (got == exp).all()
+
+
+def test_shipping_priority_partitioned_path_identical(con):
+    """Size gate: forcing the qualifying-order table above the broadcast
+    bound (broadcast_bytes=0) must route through the distributed
+    partitioned_hash_join date-attach and produce identical rows."""
+    a = _to_df(q.q_shipping_priority(SF))
+    b = _to_df(q.q_shipping_priority(SF, broadcast_bytes=0))
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    assert len(a) > 0
