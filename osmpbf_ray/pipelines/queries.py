@@ -451,9 +451,10 @@ def q_token_count_ws(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count_ws(batch: pa.Table) -> pa.Table:
-        n = [len(str(t).split()) for t in batch.column("text").to_pylist()]
+        # one RE2 count kernel per batch; matches the oracle's \s regex
+        n = pc.count_substring_regex(text._text_col(batch), pattern=r"\S+")
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "n_ws_tokens": pa.array(n, type=pa.int64())}
+            {"doc_id": batch.column("doc_id"), "n_ws_tokens": n.cast(pa.int64())}
         )
 
     return ds.map_batches(count_ws, batch_format="pyarrow", zero_copy_batch=True)
@@ -1064,14 +1065,16 @@ def q_relation_resolve_typed(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.LangIdStage, batch_format="pandas", concurrency=_conc()).select_columns(
+    return ds.map_batches(text.LangIdStage, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=_conc()).select_columns(
         ["doc_id", "lang_pred"]
     )
 
 
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.QualityStage, batch_format="pandas", concurrency=_conc()).select_columns(
+    return ds.map_batches(text.QualityStage, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=_conc()).select_columns(
         ["doc_id", "q_n_chars", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_mean_word_len"]
     )
 

@@ -2,8 +2,13 @@
 document fingerprinting (engine-new; large-scale training-data ops).
 
 All kernels are per-batch and deterministic across processes (no reliance
-on PYTHONHASHSEED — hashes are crc32/splitmix based). Regexes are
-compiled once per actor (``__init__``), not per batch.
+on PYTHONHASHSEED — hashes are crc32/splitmix based). The hot stages
+(lang-ID, quality, token counts) are pyarrow.compute-vectorized: one RE2
+split / count / is_in kernel call per BATCH plus numpy bincount segment
+reductions — no Python loop over rows. Word tokens are maximal ASCII
+``[a-z]+`` runs of the lowercased text, the SAME definition the DuckDB
+oracles use (``regexp_extract_all(lower(text), '[a-z]+')``), so engine
+and oracle tokenize identically by construction.
 """
 
 from __future__ import annotations
@@ -12,7 +17,8 @@ import re
 import zlib
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_STOPWORDS = {
@@ -44,73 +50,120 @@ def token_hashes(text: str) -> np.ndarray:
     return splitmix64(crcs)
 
 
+def _text_col(batch: pa.Table) -> pa.ChunkedArray:
+    col = batch.column("text")
+    if not pa.types.is_string(col.type):
+        col = col.cast(pa.string())
+    return pc.fill_null(col, "")
+
+
+def _word_segments(texts) -> tuple[pa.Array, np.ndarray]:
+    """(flat tokens, parent row index) for the maximal-[a-z]+-run tokens
+    of the lowercased text — ONE RE2 split over the whole batch; empty
+    split fragments (leading/trailing/adjacent separators) ride along and
+    are masked by callers."""
+    lists = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z]+")
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    return flat, parents
+
+
+def _stopword_counts(flat: pa.Array, parents: np.ndarray, n: int,
+                     stopwords: frozenset) -> np.ndarray:
+    mask = pc.is_in(flat, value_set=pa.array(sorted(stopwords))).to_numpy(
+        zero_copy_only=False
+    )
+    return np.bincount(parents[mask], minlength=n)
+
+
 class LangIdStage:
-    """Stopword-profile language heuristic; 'und' (undetermined) fallback."""
+    """Stopword-profile language heuristic; 'und' (undetermined) fallback.
+
+    Ties break to the lexicographically LARGEST language code (the
+    original ``max(scores, key=(score, lang))`` contract, reproduced in
+    the lang_id oracle's CASE ladder)."""
+
+    # descending lexicographic order => np.argmax's first-max wins ties
+    _LANGS = ("fr", "es", "en", "de")
 
     def __init__(self):
-        self.word = _WORD_RE
-        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.profiles = [frozenset(_LANG_STOPWORDS[lang]) for lang in self._LANGS]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        for text in batch["text"]:
-            words = self.word.findall(str(text).lower())
-            if not words:
-                langs.append("und")
-                continue
-            scores = {
-                lang: sum(w in sw for w in words) for lang, sw in self.profiles.items()
-            }
-            best = max(scores, key=lambda k: (scores[k], k))
-            langs.append(best if scores[best] > 0 else "und")
-        batch["lang_pred"] = langs
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("lang_pred", pa.array([], type=pa.string()))
+        flat, parents = _word_segments(_text_col(batch))
+        scores = np.stack(
+            [_stopword_counts(flat, parents, n, sw) for sw in self.profiles]
+        )
+        best = scores.argmax(axis=0)
+        langs = np.array(self._LANGS, dtype=object)[best]
+        langs[scores.max(axis=0) == 0] = "und"
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
 class QualityStage:
-    """Heuristic quality features: lengths, punct/stopword/upper ratios."""
+    """Heuristic quality features: lengths, punct/stopword/upper ratios.
+
+    All ASCII-word-token based (see module docstring); the punct count
+    uses the same RE2 ``[^\w\s]`` class the quality_score oracle runs.
+    """
 
     def __init__(self):
-        self.word = _WORD_RE
-        self.punct = _PUNCT_RE
         self.stop = frozenset(_LANG_STOPWORDS["en"])
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n_chars, n_words, punct_ratio, stop_ratio, upper_ratio, mean_wlen = (
-            [] for _ in range(6)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = _text_col(batch)
+        if n == 0:
+            for name, typ in (("q_n_chars", pa.int64()), ("q_n_words", pa.int64()),
+                              ("q_punct_ratio", pa.float64()),
+                              ("q_stop_ratio", pa.float64()),
+                              ("q_upper_ratio", pa.float64()),
+                              ("q_mean_word_len", pa.float64())):
+                batch = batch.append_column(name, pa.array([], type=typ))
+            return batch
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parents = _word_segments(texts)
+        wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = np.bincount(parents[wlens > 0], minlength=n)
+        wlen_sum = np.bincount(parents, weights=wlens.astype(np.float64), minlength=n)
+        punct = pc.count_substring_regex(texts, pattern=r"[^\w\s]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        upper = pc.count_substring_regex(texts, pattern=r"\p{Lu}").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        stop = _stopword_counts(flat, parents, n, self.stop)
+        return (
+            batch.append_column("q_n_chars", pa.array(n_chars))
+            .append_column("q_n_words", pa.array(n_words.astype(np.int64)))
+            .append_column("q_punct_ratio", pa.array(punct / np.maximum(1, n_chars)))
+            .append_column("q_stop_ratio", pa.array(stop / np.maximum(1, n_words)))
+            .append_column("q_upper_ratio", pa.array(upper / np.maximum(1, n_chars)))
+            .append_column("q_mean_word_len", pa.array(
+                np.where(n_words > 0, wlen_sum / np.maximum(1, n_words), 0.0)))
         )
-        for text in batch["text"]:
-            s = str(text)
-            words = self.word.findall(s.lower())
-            nc = len(s)
-            n_chars.append(nc)
-            n_words.append(len(words))
-            punct_ratio.append(len(self.punct.findall(s)) / max(1, nc))
-            stop_ratio.append(sum(w in self.stop for w in words) / max(1, len(words)))
-            upper_ratio.append(sum(c.isupper() for c in s) / max(1, nc))
-            mean_wlen.append(float(np.mean([len(w) for w in words])) if words else 0.0)
-        batch["q_n_chars"] = np.array(n_chars, dtype=np.int64)
-        batch["q_n_words"] = np.array(n_words, dtype=np.int64)
-        batch["q_punct_ratio"] = punct_ratio
-        batch["q_stop_ratio"] = stop_ratio
-        batch["q_upper_ratio"] = upper_ratio
-        batch["q_mean_word_len"] = mean_wlen
-        return batch
+
+
+# the BPE-ish alternation minus its whitespace branches: every surviving
+# match strips non-empty, so counting matches of THIS pattern equals the
+# old "matches whose .strip() is truthy" Python loop (RE2 has no
+# lookahead, so the original \s+(?!\S) branch cannot run there; its
+# matches were whitespace-only and never counted anyway)
+_BPE_COUNT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\d+| ?[^\s\w]+"
 
 
 class TokenCountStage:
-    """Whitespace and BPE-ish token counts per document."""
+    """Whitespace and BPE-ish token counts per document — two RE2
+    count_substring_regex calls per batch, no per-row Python."""
 
-    def __init__(self):
-        self.bpe = _BPE_RE
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["n_ws_tokens"] = [len(str(t).split()) for t in batch["text"]]
-        batch["n_bpe_tokens"] = [
-            sum(1 for m in self.bpe.finditer(str(t)) if m.group().strip())
-            for t in batch["text"]
-        ]
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = _text_col(batch)
+        n_ws = pc.count_substring_regex(texts, pattern=r"\S+")
+        n_bpe = pc.count_substring_regex(texts, pattern=_BPE_COUNT_PATTERN)
+        return batch.append_column(
+            "n_ws_tokens", n_ws.cast(pa.int64())
+        ).append_column("n_bpe_tokens", n_bpe.cast(pa.int64()))
 
 
 def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> np.ndarray:
@@ -131,9 +184,12 @@ class FingerprintStage:
     def __init__(self, window: int = 8, keep_mod: int = 16):
         self.window, self.keep_mod = window, keep_mod
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = [
-            rolling_fingerprint(str(t), self.window, self.keep_mod).astype(np.int64).tolist()
-            for t in batch["text"]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [
+            rolling_fingerprint(str(t), self.window, self.keep_mod)
+            .astype(np.int64).tolist()
+            for t in _text_col(batch).to_pylist()
         ]
-        return batch
+        return batch.append_column(
+            "fingerprint", pa.array(fps, type=pa.list_(pa.int64()))
+        )

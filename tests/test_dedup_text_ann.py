@@ -194,25 +194,27 @@ def test_text_stages():
         }
     )
     ds = rd.from_arrow(tbl)
-    lang = ds.map_batches(text.LangIdStage, batch_format="pandas", concurrency=2).to_pandas()
+    lang = ds.map_batches(text.LangIdStage, batch_format="pyarrow", concurrency=2).to_pandas()
     by_id = dict(zip(lang["doc_id"], lang["lang_pred"]))
     assert by_id[1] == "en" and by_id[2] == "de" and by_id[3] == "und" and by_id[4] == "es"
 
-    q = ds.map_batches(text.QualityStage, batch_format="pandas", concurrency=2).to_pandas()
+    q = ds.map_batches(text.QualityStage, batch_format="pyarrow", concurrency=2).to_pandas()
     row = q[q["doc_id"] == 1].iloc[0]
     assert row["q_n_words"] == 9
     assert row["q_stop_ratio"] > 0.3
     row3 = q[q["doc_id"] == 3].iloc[0]
     assert row3["q_punct_ratio"] == 1.0
 
-    t = ds.map_batches(text.TokenCountStage, batch_format="pandas", concurrency=2).to_pandas()
+    t = ds.map_batches(text.TokenCountStage, batch_format="pyarrow", concurrency=2).to_pandas()
     assert t[t["doc_id"] == 1]["n_ws_tokens"].iloc[0] == 9
     assert (t["n_bpe_tokens"] >= t["n_ws_tokens"] - 1).all()
 
-    f = ds.map_batches(text.FingerprintStage, batch_format="pandas", concurrency=2).to_pandas()
+    f = ds.map_batches(text.FingerprintStage, batch_format="pyarrow", concurrency=2).to_pandas()
     # deterministic + identical docs share fingerprints
-    f2 = ds.map_batches(text.FingerprintStage, batch_format="pandas", concurrency=2).to_pandas()
-    assert f.sort_values("doc_id")["fingerprint"].tolist() == f2.sort_values("doc_id")["fingerprint"].tolist()
+    f2 = ds.map_batches(text.FingerprintStage, batch_format="pyarrow", concurrency=2).to_pandas()
+    fa = [list(v) for v in f.sort_values("doc_id")["fingerprint"]]
+    fb = [list(v) for v in f2.sort_values("doc_id")["fingerprint"]]
+    assert fa == fb
 
 
 def test_brute_force_topk_matches_numpy():
