@@ -49,6 +49,7 @@ def run_flagship(
             zero_copy_batch=True,
             batch_size=64,  # decoded-pixel batches are wide; keep them small
             concurrency=decoder_concurrency,
+            max_restarts=0,
         )
     joined = spatial_join(ds, polygons, z=z_join, concurrency=join_concurrency)
     stats = tiles_mod.tile_stats(ds, z_tile)

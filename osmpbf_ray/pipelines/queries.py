@@ -1066,7 +1066,8 @@ def q_relation_resolve_typed(sf_dir: str):
 def q_lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(text.LangIdStage, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=_conc()).select_columns(
+                          zero_copy_batch=True, concurrency=_conc(),
+                          max_restarts=0).select_columns(
         ["doc_id", "lang_pred"]
     )
 
@@ -1074,7 +1075,8 @@ def q_lang_id(sf_dir: str):
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(text.QualityStage, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=_conc()).select_columns(
+                          zero_copy_batch=True, concurrency=_conc(),
+                          max_restarts=0).select_columns(
         ["doc_id", "q_n_chars", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_mean_word_len"]
     )
 
@@ -1113,7 +1115,8 @@ def q_simhash_pairs(sf_dir: str):
     these vocab-similar synthetic docs collapse (≈30% of ALL pairs
     match), which is a property of the corpus, not a dedup signal."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas", concurrency=_conc())
+    hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas",
+                            concurrency=_conc(), max_restarts=0)
     return dedup.hamming_near_dup_pairs(hashed, "simhash", "doc_id", max_dist=6)
 
 
@@ -1248,7 +1251,8 @@ def q_image_decode(sf_dir: str):
     the oracle input is one well-defined file."""
     images = rd.read_parquet(_synth_images_path())
     decoded = images.map_batches(
-        ImageDecoder, batch_format="pyarrow", zero_copy_batch=True, batch_size=64, concurrency=_conc()
+        ImageDecoder, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=64, concurrency=_conc(), max_restarts=0,
     )
     return decoded.select_columns(["image_id", "phash", "phash_decoded", "decode_error"])
 
@@ -1374,6 +1378,7 @@ def q_image_resize(sf_dir: str):
         zero_copy_batch=True,
         batch_size=64,
         concurrency=_conc(8),
+        max_restarts=0,
     )
     return out.select_columns(["image_id", "thumb_w", "thumb_h", "mass_resid", "decode_error"])
 

@@ -141,6 +141,7 @@ def spatial_join(
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency,
+            max_restarts=0,
         )
 
     def join_task(batch: pa.Table) -> pa.Table:
@@ -435,6 +436,7 @@ def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+        max_restarts=0,
     )
 
 

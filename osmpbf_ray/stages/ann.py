@@ -103,6 +103,7 @@ def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id",
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+        max_restarts=0,
     )
 
     def final(g: pd.DataFrame):
@@ -166,6 +167,7 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+        max_restarts=0,
     )
 
     q = _unit(np.asarray(query_vecs, dtype=np.float64))
@@ -224,7 +226,8 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
             )
 
     partials = assigned.map_batches(
-        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, max_restarts=0,
     )
 
     def final(g: pd.DataFrame):

@@ -124,4 +124,5 @@ def audio_features(ds, window: int, concurrency=(1, 4), batch_size: int = 64,
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,  # pool replaces dead actors; in-place restart is unreliable with object-store ctor args
     )
