@@ -251,20 +251,35 @@ def q_delta_decode(sf_dir: str):
 
     # hash-partition users (input-sized fan-out) instead of one Ray group
     # per user: whole user streams co-locate, and the per-user running sum
-    # is pandas' C-implemented grouped cumsum inside each partition
+    # is one lexsort + cumsum with per-segment rebasing — pure numpy, no
+    # pandas round-trip
     def add_pkey(batch: pa.Table) -> pa.Table:
         pk = (batch.column("user_id").to_numpy() % n_parts).astype(np.int64)
         return batch.append_column("__pkey", pa.array(pk))
 
-    def cumsum_part(g: pd.DataFrame):
-        g = g.sort_values(["user_id", "event_id"], kind="stable")
-        g["running_sum"] = g.groupby("user_id")["event_id"].cumsum().astype(np.int64)
-        return blocks.arrow_clean(g.drop(columns="__pkey"))
+    def cumsum_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "running_sum": pa.array([], type=pa.int64())})
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, uid))
+        uid, eid = uid[order], eid[order]
+        cs = np.cumsum(eid)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        base = np.where(starts == 0, 0, cs[starts - 1])
+        lens = np.diff(np.r_[starts, len(uid)])
+        running = cs - np.repeat(base, lens)
+        return pa.table({
+            "event_id": eid, "user_id": uid,
+            "running_sum": running.astype(np.int64),
+        })
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__pkey")
-        .map_groups(cumsum_part, batch_format="pandas")
+        .map_groups(cumsum_part, batch_format="pyarrow")
     )
 
 
@@ -503,22 +518,28 @@ def q_sessionize(sf_dir: str):
         pk = (batch.column("user_id").to_numpy() % n_parts).astype(np.int64)
         return batch.append_column("__pkey", pa.array(pk))
 
-    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="stable")
-        brk = (g.groupby("user_id")["ts"].diff() > gap).astype(np.int64)
-        out = (
-            g.assign(__brk=brk)
-            .groupby("user_id", as_index=False)["__brk"]
-            .sum()
-            .rename(columns={"__brk": "n_sessions"})
-        )
-        out["n_sessions"] = out["n_sessions"].astype(np.int64) + 1
-        return blocks.arrow_clean(out)
+    gap_us = np.int64(gap.value // 1000)  # pd.Timedelta ns → us
+
+    def sessions_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_sessions": pa.array([], type=pa.int64())})
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid = uid[order]
+        t = ts[order].astype("datetime64[us]").view(np.int64)
+        same_user = uid[1:] == uid[:-1]
+        brk = np.r_[False, (np.diff(t) > gap_us) & same_user]
+        seg = np.cumsum(np.r_[0, (~same_user).astype(np.int64)])
+        n_sessions = np.bincount(seg, weights=brk).astype(np.int64) + 1
+        starts = np.flatnonzero(np.r_[True, ~same_user])
+        return pa.table({"user_id": uid[starts], "n_sessions": n_sessions})
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__pkey")
-        .map_groups(sessions_part, batch_format="pandas")
+        .map_groups(sessions_part, batch_format="pyarrow")
     )
 
 

@@ -88,17 +88,22 @@ def exact_dedup(ds, key_col: str, order_col: str, n_parts: int | None = None):
             "__pkey", pa.array((splitmix64(k) % np.uint64(n_parts)).view(np.int64))
         )
 
-    def first_per_key(g: pd.DataFrame):
-        return arrow_clean(
-            g.sort_values([key_col, order_col], kind="stable")
-            .drop_duplicates(key_col)
-            .drop(columns="__pkey")
-        )
+    def first_per_key(g: pa.Table) -> pa.Table:
+        # Arrow sort (handles string keys natively) + one vectorized
+        # first-occurrence mask — no pandas round-trip
+        srt = g.sort_by([(key_col, "ascending"), (order_col, "ascending")])
+        if srt.num_rows == 0:
+            return srt.drop_columns(["__pkey"])
+        k = srt.column(key_col).combine_chunks()
+        neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
+            zero_copy_only=False)
+        mask = np.r_[True, neq.astype(bool)]
+        return srt.filter(pa.array(mask)).drop_columns(["__pkey"])
 
     return (
         ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__pkey")
-        .map_groups(first_per_key, batch_format="pandas")
+        .map_groups(first_per_key, batch_format="pyarrow")
     )
 
 
@@ -283,13 +288,22 @@ def _dedup_pairs(pairs_ds, cols: list[str] | None = None, n_parts: int | None = 
         k = _combine_keys(batch.column("id_a").to_numpy(), batch.column("id_b").to_numpy())
         return batch.append_column("ppkey", pa.array((k % np.uint64(n_parts)).view(np.int64)))
 
-    def distinct(g: pd.DataFrame):
-        return arrow_clean(g.drop_duplicates(cols)[cols])
+    def distinct(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.select(cols)
+        arrs = [g.column(c).to_numpy(zero_copy_only=False) for c in cols]
+        order = np.lexsort(arrs[::-1])
+        sorted_arrs = [a[order] for a in arrs]
+        changed = np.zeros(len(order), dtype=bool)
+        changed[0] = True
+        for a in sorted_arrs:
+            changed[1:] |= a[1:] != a[:-1]
+        return pa.table({c: a[changed] for c, a in zip(cols, sorted_arrs)})
 
     return (
         pairs_ds.map_batches(add_ppkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ppkey")
-        .map_groups(distinct, batch_format="pandas")
+        .map_groups(distinct, batch_format="pyarrow")
     )
 
 
@@ -359,13 +373,14 @@ def candidate_semi_join(source_ds, id_col: str, pairs_ds, cols: list[str],
         return batch.append_column(
             "ipkey", pa.array((k % np.uint64(n_parts)).view(np.int64)))
 
-    def distinct(g: pd.DataFrame):
-        return arrow_clean(g.drop_duplicates([id_col])[[id_col]])
+    def distinct(g: pa.Table) -> pa.Table:
+        return pa.table({id_col: np.unique(
+            g.column(id_col).to_numpy(zero_copy_only=False))})
 
     distinct_ids = (
         ids_ds.map_batches(add_ipkey, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("ipkey")
-        .map_groups(distinct, batch_format="pandas")
+        .map_groups(distinct, batch_format="pyarrow")
     )
     return partitioned_hash_join(
         source, distinct_ids, key=id_col, how="inner",
