@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "shipping_priority",
     "window_agg",
+    "lang_id",
+    "audio_features",
 ]
 
 
