@@ -1299,6 +1299,50 @@ def _synth_audio_path() -> str:
     return path
 
 
+_VIDEO_N, _VIDEO_FRAMES, _VIDEO_H, _VIDEO_W, _VIDEO_K = 48, 16, 16, 16, 4
+
+
+def _synth_video_path() -> str:
+    """Deterministic video table written ONCE as parquet (the image/audio
+    twin pattern): the engine decodes the ACTUAL raw frames; the oracle
+    reads only metadata and re-derives every pixel from first principles."""
+    import os
+    import os.path as osp
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = f"{_CACHE_DIR}/video_n{_VIDEO_N}_f{_VIDEO_FRAMES}.parquet"
+    if not osp.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(
+            fixtures.make_video(_VIDEO_N, _VIDEO_FRAMES, _VIDEO_H, _VIDEO_W), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def q_video_frame_stats(sf_dir: str):
+    """Multimodal video: opaque raw-frame binary column → actor-pool
+    per-frame feature stage (pixel sum + motion energy vs previous
+    frame), one reshape+reduction per batch (stages/video.py).
+    Integer-exact vs the first-principles SQL twin."""
+    from osmpbf_ray.stages import video
+
+    return video.frame_stats(rd.read_parquet(_synth_video_path()),
+                             concurrency=_conc())
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Frame-sampling (every k-th frame) followed by per-frame features:
+    verifies the payload REWRITE end-to-end — the sampled clip's bytes
+    are re-decoded by the downstream stage and must match an oracle that
+    derives only the kept frames (f % k == 0) from first principles,
+    with motion computed between consecutive KEPT frames."""
+    from osmpbf_ray.stages import video
+
+    sampled = video.frame_sample(rd.read_parquet(_synth_video_path()),
+                                 every_k=_VIDEO_K, concurrency=_conc())
+    return video.frame_stats(sampled, concurrency=_conc())
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal audio: opaque PCM binary column → actor-pool windowed
     feature stage (per-window sum-of-squares, zero crossings, RMS),
@@ -1590,6 +1634,8 @@ def queries() -> dict:
         "ivf_knn": q_ivf_knn,
         "knn_join_geo_kring": q_knn_join_geo_kring,
         "audio_features": q_audio_features,
+        "video_frame_stats": q_video_frame_stats,
+        "video_frame_sample": q_video_frame_sample,
         "count_all": q_count_all,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
@@ -1599,7 +1645,6 @@ def queries() -> dict:
         "delta_decode": q_delta_decode,
         "pricing_summary": q_pricing_summary,
         "salted_group_count": q_salted_group_count,
-        "distinct_pairs": q_distinct_pairs,
         "exact_dedup_docs": q_exact_dedup_docs,
         "tile_assign": q_tile_assign,
         "tile_stats": q_tile_stats,
@@ -1636,6 +1681,7 @@ def queries() -> dict:
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         # --- r3-green, trivially re-verifiable tail (50-row-cap overflow) ---
         "top_cells": q_top_cells,
+        "distinct_pairs": q_distinct_pairs,
         "top_k_orders": q_top_k_orders,
         "distinct_count": q_distinct_count,
         "union_orders": q_union_orders,
@@ -2227,6 +2273,41 @@ def oracle_sql() -> dict:
     # over generate_series) — the engine decoded the actual PCM bytes, so
     # equality proves decode + windowing + feature math end-to-end
     W = _AUDIO_WINDOW
+    def _video_sql(keep_every: int) -> str:
+        # pixel (clip i, frame f, pixel p) = splitmix64((i*64+f)*4096+p) % 256,
+        # recomputed from first principles; motion = sum |v - v of the
+        # previous KEPT frame| per pixel (frame 0 → all-null lag → 0)
+        return (
+            _splitmix64_cte(
+                "key",
+                "video_id, f, p",
+                "keyed",
+                prelude=(
+                    "meta AS (SELECT video_id, n_frames, h*w AS npx "
+                    f"FROM read_parquet('{_synth_video_path()}')), "
+                    "fr AS (SELECT video_id, npx, "
+                    "unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f "
+                    "FROM meta), "
+                    "pos AS MATERIALIZED (SELECT video_id, f, "
+                    "unnest(generate_series(0, CAST(npx - 1 AS INT))) AS p "
+                    f"FROM fr WHERE f % {keep_every} = 0), "
+                    "keyed AS MATERIALIZED (SELECT video_id, f, p, "
+                    "CAST((CAST(video_id AS HUGEINT) * 64 + f) * 4096 + p "
+                    "AS UBIGINT) AS key FROM pos), "
+                ),
+            )
+            + ", px AS MATERIALIZED (SELECT video_id, f, p, "
+            "CAST(h % 256 AS BIGINT) AS v FROM smh), "
+            "lagged AS (SELECT video_id, f, v, lag(v) OVER "
+            "(PARTITION BY video_id, p ORDER BY f) AS prev FROM px) "
+            f"SELECT video_id, CAST(f // {keep_every} AS BIGINT) AS frame, "
+            "CAST(SUM(v) AS BIGINT) AS px_sum, "
+            "CAST(COALESCE(SUM(ABS(v - prev)), 0) AS BIGINT) AS motion "
+            "FROM lagged GROUP BY video_id, f"
+        )
+
+    sql["video_frame_stats"] = _video_sql(1)
+    sql["video_frame_sample"] = _video_sql(_VIDEO_K)
     sql["audio_features"] = (
         _splitmix64_cte(
             "key",

@@ -215,6 +215,18 @@ AUDIO_SCHEMA = pa.schema(
     ]
 )
 
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.int64()),
+        ("frames", pa.binary()),  # opaque payload: n_frames raw gray8 frames
+        ("codec", pa.string()),  # "rawvideo_gray8" | (stubbed: "h264"/...)
+        ("n_frames", pa.int64()),
+        ("h", pa.int64()),
+        ("w", pa.int64()),
+        ("fps", pa.int64()),
+    ]
+)
+
 POLYGONS_SCHEMA = pa.schema(
     [
         ("poly_id", pa.int64()),

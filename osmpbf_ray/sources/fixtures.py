@@ -471,3 +471,39 @@ def make_audio(n: int = 64, n_samples: int = 2048, sr: int = 16000) -> pa.Table:
         },
         schema=schema.AUDIO_SCHEMA,
     )
+
+
+# --- video table ------------------------------------------------------------
+
+
+def make_video(n: int = 48, n_frames: int = 16, h: int = 16, w: int = 16) -> pa.Table:
+    """Video table: opaque raw-gray8 frame payload + typed metadata
+    (schema.VIDEO_SCHEMA). Pixel p of frame f of clip i is
+    ``splitmix64((i*64 + f)*4096 + p) % 256`` — deterministic under any
+    partitioning AND integer-exactly reproducible in DuckDB, so
+    per-frame features computed from the DECODED BYTES hash-compare
+    against a first-principles oracle (queries.q_video_frame_stats).
+    Requires n_frames <= 64 and h*w <= 4096 (key-packing bounds)."""
+    from osmpbf_ray.stages.text import splitmix64
+
+    assert n_frames <= 64 and h * w <= 4096
+    ids = np.arange(n, dtype=np.uint64)
+    keys = ((ids[:, None] * np.uint64(64)
+             + np.arange(n_frames, dtype=np.uint64)[None, :])[:, :, None]
+            * np.uint64(4096)
+            + np.arange(h * w, dtype=np.uint64)[None, None, :])
+    px = (splitmix64(keys) % np.uint64(256)).astype(np.uint8)
+    flat = px.reshape(n, -1)
+    return pa.table(
+        {
+            "video_id": ids.astype(np.int64),
+            "frames": pa.array([flat[i].tobytes() for i in range(n)],
+                               type=pa.binary()),
+            "codec": pa.array(["rawvideo_gray8"] * n),
+            "n_frames": pa.array([n_frames] * n, type=pa.int64()),
+            "h": pa.array([h] * n, type=pa.int64()),
+            "w": pa.array([w] * n, type=pa.int64()),
+            "fps": pa.array([8] * n, type=pa.int64()),
+        },
+        schema=schema.VIDEO_SCHEMA,
+    )
