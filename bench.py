@@ -219,7 +219,12 @@ def run_headline() -> tuple[float, int]:
     path = ensure_images()
     polygons = fixtures.make_polygons(30)
     t0 = time.time()
-    ds = rd.read_parquet(path)
+    # override_num_blocks: Ray bundles the 32 input files into ~7 read
+    # tasks (128 MiB target blocks), capping the FUSED decode→join→tiles
+    # stage at 7-way parallelism on 32 CPUs. 128 read blocks keep every
+    # core busy and load-balance around ambient noise (paired A/B:
+    # 55-63k → 69-89k rows/s)
+    ds = rd.read_parquet(path, override_num_blocks=128)
     # elastic task-based stages (no pool sizing: fixed actor pools either
     # deadlock when they sum to the cluster size or idle when undersized;
     # the decoder is stateless and the join caches its index per worker)
@@ -258,6 +263,7 @@ BENCH_QUERIES = [
     "window_agg",
     "lang_id",
     "audio_features",
+    "video_frame_stats",
 ]
 
 
