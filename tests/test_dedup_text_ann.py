@@ -279,3 +279,21 @@ def test_candidate_semi_join_paths_identical():
                                    broadcast_bytes=0).to_pandas()
     assert sorted(zip(ja["id_a"], ja["id_b"], ja["jaccard"])) == \
         sorted(zip(jb["id_a"], jb["id_b"], jb["jaccard"]))
+
+
+def test_embedding_near_dup_distributed_head_identical():
+    """Forced-distributed candidate fetch (broadcast_bytes=0) must equal
+    the broadcast path for the embedding LSH verify too."""
+    rng = np.random.default_rng(22)
+    base = rng.standard_normal((80, 16))
+    vecs = np.vstack([base, base[:15] + rng.standard_normal((15, 16)) * 0.02])
+    tbl = pa.table(
+        {"vec_id": np.arange(len(vecs), dtype=np.int64),
+         "embedding": [v.tolist() for v in vecs]}
+    )
+    a = dedup.embedding_near_dup_pairs(rd.from_arrow(tbl), threshold=0.9).to_pandas()
+    b = dedup.embedding_near_dup_pairs(rd.from_arrow(tbl), threshold=0.9,
+                                       broadcast_bytes=0).to_pandas()
+    assert len(a) > 0
+    assert sorted(zip(a["id_a"], a["id_b"], a["cosine"])) == \
+        sorted(zip(b["id_a"], b["id_b"], b["cosine"]))
