@@ -21,7 +21,6 @@ bucketed path is the fallback and is also what the spatial join uses
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
