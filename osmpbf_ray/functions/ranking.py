@@ -1,0 +1,95 @@
+"""Grouped ranking: top-k rows per group (the windowed
+``row_number() OVER (PARTITION BY g ORDER BY v) <= k`` class).
+
+Scale shape: hash-partition rows by group key (same-key rows co-locate;
+input-sized fan-out bounds per-partition memory), then ONE vectorized
+lexsort + segment-arange per partition — no per-group Python, no global
+sort. The shuffle moves each row once; a global ``ds.sort`` would move
+every row through an all-to-all range exchange AND serialize the final
+limit. At 100 TB the per-partition reduce sees rows/n_parts rows.
+
+A per-batch combiner (keep each batch's local top-k per group before
+the shuffle) is available via ``precombine=True`` — correct because a
+group's global top-k is a subset of the union of its per-batch top-k —
+and cuts shuffle bytes on heavy-tailed groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmpbf_ray.functions.joins import splitmix_u64
+from osmpbf_ray.functions.partitioning import sized_fanout
+
+
+def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
+    a = col.to_numpy(zero_copy_only=False)
+    if a.dtype.kind == "M":
+        a = a.astype("datetime64[us]").view(np.int64)
+    if not ascending:
+        a = -a.astype(np.float64) if a.dtype.kind == "f" else -a.astype(np.int64)
+    return a
+
+
+def _topk_table(t: pa.Table, group_col: str, order_col: str, k: int,
+                ascending: bool, tiebreak: str | None,
+                with_rank: bool) -> pa.Table:
+    """Vectorized per-slice top-k: one lexsort, one segment arange."""
+    g = t.column(group_col).to_numpy(zero_copy_only=False)
+    v = _order_key(t.column(order_col), ascending)
+    keys = [v, g]
+    if tiebreak is not None:
+        keys.insert(0, t.column(tiebreak).to_numpy(zero_copy_only=False))
+    order = np.lexsort(keys)  # primary = g, then v, then tiebreak
+    gs = g[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    lens = np.diff(np.r_[starts, len(gs)])
+    # rank within group: position - segment start
+    rank = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, lens) + 1
+    keep = rank <= k
+    out = t.take(pa.array(order[keep]))
+    if with_rank:
+        out = out.append_column("rank", pa.array(rank[keep]))
+    return out
+
+
+def grouped_topk(ds, group_col: str, order_col: str, k: int,
+                 ascending: bool = False, tiebreak: str | None = None,
+                 n_parts: int | None = None, precombine: bool = False,
+                 with_rank: bool = True):
+    """Top-k rows per group, ranked by ``order_col`` (desc by default)
+    with deterministic ``tiebreak`` ordering; emits a 1-based ``rank``
+    column matching SQL ``row_number()``'s."""
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return _topk_table(batch, group_col, order_col, k, ascending,
+                           tiebreak, with_rank=False)
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__gkey", pa.array([], type=pa.int64()))
+        h = splitmix_u64(batch.column(group_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__gkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
+
+    def final(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            sch = part.drop_columns(["__gkey"]).schema
+            if with_rank:
+                sch = sch.append(pa.field("rank", pa.int64()))
+            return sch.empty_table()
+        return _topk_table(part.drop_columns(["__gkey"]), group_col,
+                           order_col, k, ascending, tiebreak, with_rank)
+
+    if precombine:
+        ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        ds.map_batches(add_gkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gkey")
+        .map_groups(final, batch_format="pyarrow")
+    )

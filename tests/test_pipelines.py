@@ -97,6 +97,29 @@ def test_salted_groupby_matches_plain():
     assert dict(zip(salted["cell"], salted["n"])) == dict(zip(uniq.tolist(), counts.tolist()))
 
 
+def test_tile_rollup_matches_direct_assignment():
+    """Rolling up z=6 counts via cell_parent equals assigning points
+    directly at each coarser zoom; 'partitioned' final == 'shuffle'."""
+    images = fixtures.make_images(500)
+    lat = images.column("lat").to_numpy()
+    lon = images.column("lon").to_numpy()
+    for final in ("shuffle", "partitioned"):
+        levels = tiles.tile_rollup(rd.from_arrow(images), base_z=6,
+                                   parent_zs=[4, 2], final=final)
+        assert sorted(levels) == [2, 4, 6]
+        for z, ds in levels.items():
+            stats = ds.to_pandas()
+            uniq, counts = np.unique(
+                spatial.lonlat_to_cell(lat, lon, z), return_counts=True)
+            assert dict(zip(stats["tile"], stats["n"])) == dict(
+                zip(uniq.tolist(), counts.tolist()))
+            assert stats["n"].sum() == 500
+            zz, x, y = spatial.unpack_cell(stats["tile"].to_numpy())
+            assert (zz == z).all()
+            assert (stats["tile_x"].to_numpy() == x).all()
+            assert (stats["tile_y"].to_numpy() == y).all()
+
+
 def test_top_k_tiles():
     images = fixtures.make_images(300)
     top = tiles.top_k_tiles(rd.from_arrow(images), z=6, k=3).to_pandas()

@@ -84,3 +84,35 @@ def test_shipping_priority_partitioned_path_identical(con):
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
     assert len(a) > 0
+
+
+def test_grouped_topk_matches_pandas_and_paths():
+    """grouped_topk == pandas groupby-head brute force; precombine on/off
+    and ascending variants agree."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmpbf_ray.functions import ranking
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table({
+        "g": rng.integers(0, 200, n),
+        "v": rng.integers(0, 1000, n),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    for precombine in (False, True):
+        out = ranking.grouped_topk(rd.from_arrow(t), "g", "v", k=3,
+                                   tiebreak="id", precombine=precombine
+                                   ).to_pandas().sort_values(["g", "rank"])
+        df = t.to_pandas().sort_values(["v", "id"], ascending=[False, True])
+        exp = df.groupby("g").head(3)
+        got = set(zip(out["g"], out["id"]))
+        assert got == set(zip(exp["g"], exp["id"]))
+        assert out.groupby("g")["rank"].min().eq(1).all()
+        assert out.groupby("g")["rank"].max().le(3).all()
+    asc = ranking.grouped_topk(rd.from_arrow(t), "g", "v", k=1,
+                               ascending=True, tiebreak="id").to_pandas()
+    exp_min = t.to_pandas().sort_values(["v", "id"]).groupby("g").head(1)
+    assert set(zip(asc["g"], asc["id"])) == set(zip(exp_min["g"], exp_min["id"]))
