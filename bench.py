@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "lang_id",
     "audio_features",
     "video_frame_stats",
+    "top_orders_per_cust",
+    "tile_rollup",
 ]
 
 
