@@ -54,6 +54,125 @@ def broadcast_semi_join(ds, key_col: str, keys_ref) -> "ray.data.Dataset":
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def broadcast_anti_join(ds, key_col: str, keys_ref) -> "ray.data.Dataset":
+    """Drop rows whose ``key_col`` ∈ broadcast key set (NOT EXISTS).
+
+    Map-side, shuffle-free mirror of ``broadcast_semi_join``. NULL keys
+    are KEPT (SQL ``NOT EXISTS`` with an equality correlate: NULL never
+    matches, so the outer row qualifies).
+    """
+
+    def filt(batch: pa.Table) -> pa.Table:
+        hexkey = keys_ref.hex()
+        if _SEMI_CACHE.get("key") != hexkey:
+            _SEMI_CACHE.clear()
+            _SEMI_CACHE["key"] = hexkey
+            _SEMI_CACHE["keys"] = pa.array(np.unique(np.asarray(ray.get(keys_ref))))
+        mask = pc.invert(pc.is_in(batch[key_col], value_set=_SEMI_CACHE["keys"]))
+        return batch.filter(pc.fill_null(mask, True))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def partitioned_anti_join(left_ds, right_ds, key: str, right_key: str | None = None,
+                          n_buckets: int | None = None,
+                          left_schema: pa.Schema | None = None):
+    """Anti-join with BOTH sides large: co-bucket by ``hash(key) % B``,
+    per bucket keep left rows whose key has no match in the right keys.
+
+    The right side is projected to its KEY COLUMN ONLY before the
+    shuffle (an anti-join never reads right payload), so the exchange
+    moves |left| + |right-keys| rows once. Same partitioning contract
+    as ``partitioned_hash_join``: both sides bucketed by the same
+    splitmix hash, each bucket reduces independently — per-bucket
+    memory is rows/B at any input size.
+    """
+    from osmpbf_ray.functions.partitioning import sized_fanout
+
+    rkey = right_key or key
+    if n_buckets is None:
+        n_buckets = max(sized_fanout(left_ds), sized_fanout(right_ds))
+    lschema = left_schema if left_schema is not None else left_ds.schema().base_schema
+    lcols = list(lschema.names)
+    unified = pa.schema(
+        [pa.field("bucket", pa.int64()), pa.field("__side", pa.int8())]
+        + [lschema.field(c) for c in lcols]
+    )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = add_bucket_column(b, key, n_buckets)
+        cols = [b.column("bucket"),
+                pa.array(np.zeros(b.num_rows, dtype=np.int8))]
+        for c in lcols:
+            col = b.column(c)
+            f = unified.field(c)
+            cols.append(col if col.type == f.type else col.cast(f.type))
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        kcol = b.column(rkey).drop_null()
+        kt = pa.table({key: kcol.cast(lschema.field(key).type)})
+        kt = add_bucket_column(kt, key, n_buckets)
+        n = kt.num_rows
+        cols = [kt.column("bucket"), pa.array(np.ones(n, dtype=np.int8))]
+        for c in lcols:
+            cols.append(kt.column(key) if c == key
+                        else pa.nulls(n, type=unified.field(c).type))
+        return pa.Table.from_arrays(cols, schema=unified)
+
+    tagged_l = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    tagged_r = right_ds.select_columns([rkey]).map_batches(
+        tag_right, batch_format="pyarrow")
+
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        left = g.filter(pa.array(side == 0))
+        rkeys = g.filter(pa.array(side == 1)).column(key)
+        out = left.drop_columns(["bucket", "__side"])
+        if len(rkeys) == 0:
+            return out
+        mask = pc.invert(pc.is_in(out[key], value_set=rkeys.combine_chunks()))
+        return out.filter(pc.fill_null(mask, True))
+
+    return tagged_l.union(tagged_r).groupby("bucket").map_groups(
+        anti_bucket, batch_format="pyarrow"
+    )
+
+
+def anti_join(left_ds, right_ds, key: str, right_key: str | None = None,
+              broadcast_bytes: int | None = 64 << 20):
+    """NOT-EXISTS join, size-gated like the LSH verify head
+    (stages/dedup.py:candidate_semi_join):
+
+    * right side ≤ ``broadcast_bytes``: per-batch unique keys collect on
+      the driver and broadcast once via ``ray.put``; the left side
+      filters map-side with zero shuffle.
+    * larger (or unknown size): fully distributed
+      ``partitioned_anti_join`` — the right keys co-partition with the
+      left rows, nothing materializes on the driver.
+    """
+    rkey = right_key or key
+    try:
+        right_bytes = right_ds.size_bytes()
+    except Exception:
+        right_bytes = None
+    if (broadcast_bytes is not None and right_bytes is not None
+            and right_bytes <= broadcast_bytes):
+        def keys_partial(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch.column(rkey).drop_null().to_numpy(zero_copy_only=False))
+            return pa.table({"k": u})
+
+        key_tbls = ray.get(
+            right_ds.select_columns([rkey])
+            .map_batches(keys_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        parts = [t.column("k").to_numpy() for t in key_tbls if t.num_rows]
+        keys = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.int64)
+        return broadcast_anti_join(left_ds, key, ray.put(keys))
+    return partitioned_anti_join(left_ds, right_ds, key, right_key=rkey)
+
+
 def ways_and_deps(ways_ds, nodes_ds, way_predicate_batch_fn):
     """``read_ways_and_deps`` equivalent (indexed.rs:264-330).
 

@@ -1,0 +1,193 @@
+"""Distributed EXACT order statistics (quantiles) without a global sort.
+
+``exact_quantiles`` selects the k-th smallest values for a set of
+quantile fractions using streaming histogram passes — the classic
+select-by-counting shape:
+
+1. pass A: per-batch (count, min, max) partials, tree-reduced via
+   ``par_map_reduce`` (one tiny row per block streams to the driver).
+2. pass B: per-batch fixed-grid histograms, combined in TWO levels
+   (per-batch partial rows → a distributed sum over groups of rows →
+   the driver folds the few survivors), so driver memory stays
+   O(n_bins) at any block count.
+3. the cumulative histogram locates each target rank's bin; only rows
+   falling in NEEDED bins are fetched (a map-side filter — no shuffle)
+   and the exact k-th is selected locally. A bin holding more than
+   ``max_collect`` rows is refined with another histogram pass
+   restricted to that bin (geometric width shrink ⇒ terminates); a bin
+   whose float range is exhausted holds at most a couple of distinct
+   values, resolved exactly by a unique+count pass.
+
+Exactness does NOT rely on float bin edges being exact: every pass
+(histogram, collect, refine) restricts membership with the SAME bin
+index formula ``clip(floor((v-lo)/width))`` — weakly monotone in ``v``
+(subtraction, positive division, floor and clip all preserve order), so
+bins partition values order-consistently even when edge arithmetic
+rounds, and within-bin ranks are exact by construction.
+
+Rank definition: ``k = floor(q · (n-1))`` zero-based — SQL
+``ORDER BY v LIMIT 1 OFFSET k`` ("lower" interpolation), so results are
+actual elements of the column and exactly reproducible in DuckDB.
+
+At 100 TB: every pass is a streaming ``map_batches`` over the single
+projected column (no shuffle, no driver materialization of data rows);
+the driver holds one histogram and one needed-bin subset, both bounded
+by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmpbf_ray.functions.mapreduce import par_map_reduce
+
+# a restriction level: values kept iff clip(floor((v-lo)/width)) == b
+Level = tuple[float, float, int, int]  # (lo, width, n_bins, b)
+
+
+def _bin_idx(v: np.ndarray, lo: float, width: float, n_bins: int) -> np.ndarray:
+    return np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+
+
+def _restrict(v: np.ndarray, levels: tuple[Level, ...]) -> np.ndarray:
+    for lo, width, n_bins, b in levels:
+        v = v[_bin_idx(v, lo, width, n_bins) == b]
+    return v
+
+
+def _minmax_count(ds, col: str):
+    def fold(batch: pa.Table):
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return (0, np.inf, -np.inf)
+        return (len(v), float(v.min()), float(v.max()))
+
+    return par_map_reduce(
+        ds, fold, lambda: (0, np.inf, -np.inf),
+        lambda a, b: (a[0] + b[0], min(a[1], b[1]), max(a[2], b[2])),
+    )
+
+
+def _histogram(ds, col: str, levels: tuple[Level, ...], lo: float,
+               width: float, n_bins: int) -> np.ndarray:
+    def part(batch: pa.Table) -> pa.Table:
+        v = _restrict(batch.column(col).drop_null().to_numpy(zero_copy_only=False),
+                      levels)
+        h = np.bincount(_bin_idx(v, lo, width, n_bins),
+                        minlength=n_bins).astype(np.int64)
+        return pa.table({"h": pa.array([h], type=pa.list_(pa.int64()))})
+
+    partials = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    # level-1 combine runs distributed: sum each block's partial rows to
+    # one row, so the driver folds O(#final blocks) rows, not O(#batches)
+    def combine(batch: pa.Table) -> pa.Table:
+        m = np.stack(list(batch.column("h").to_numpy(zero_copy_only=False)))
+        return pa.table({"h": pa.array([m.sum(axis=0)], type=pa.list_(pa.int64()))})
+
+    combined = partials.map_batches(combine, batch_format="pyarrow",
+                                    batch_size=1024)
+    return par_map_reduce(
+        combined,
+        lambda b: np.stack(
+            list(b.column("h").to_numpy(zero_copy_only=False))).sum(axis=0),
+        lambda: np.zeros(n_bins, dtype=np.int64),
+        lambda a, b: a + b,
+    )
+
+
+def _collect(ds, col: str, levels: tuple[Level, ...]) -> np.ndarray:
+    """Map-side bin filter + driver concat — called only on bins the
+    histogram proved small."""
+    import ray
+
+    def filt(batch: pa.Table) -> pa.Table:
+        v = _restrict(batch.column(col).drop_null().to_numpy(zero_copy_only=False),
+                      levels)
+        return pa.table({col: v})
+
+    tbls = ray.get(
+        ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    parts = [t.column(col).to_numpy() for t in tbls if t.num_rows]
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.float64)
+
+
+def _unique_counts(ds, col: str, levels: tuple[Level, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique values, counts) of the restricted set — for bins
+    whose float range is exhausted (a couple of distinct values at most,
+    but ANY duplicate-pile resolves exactly in one pass)."""
+    def fold(batch: pa.Table):
+        v = _restrict(batch.column(col).drop_null().to_numpy(zero_copy_only=False),
+                      levels)
+        u, c = np.unique(v, return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    def merge(a: dict, b: dict) -> dict:
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+    acc = par_map_reduce(ds, fold, dict, merge)
+    u = np.array(sorted(acc), dtype=np.float64)
+    return u, np.array([acc[x] for x in u], dtype=np.int64)
+
+
+def _select_kth(ds, col: str, ks: list[int], levels: tuple[Level, ...],
+                lo: float, hi: float, n_bins: int, max_collect: int,
+                offset: int) -> dict[int, float]:
+    """Exact k-th smallest (0-based) for every k in ``ks`` among the
+    values passing ``levels``; ``offset`` ranks lie below this set."""
+    width = (hi - lo) / n_bins
+    # no float progress (width 0, non-finite, or below one ulp of lo):
+    # the remaining pile spans at most a couple of representable values
+    if not (width > 0) or not np.isfinite(width) or lo + width <= lo:
+        u, c = _unique_counts(ds, col, levels)
+        cum = np.cumsum(c)
+        return {k: float(u[np.searchsorted(cum, k - offset, side="right")])
+                for k in ks}
+    hist = _histogram(ds, col, levels, lo, width, n_bins)
+    cum = np.cumsum(hist)
+    out: dict[int, float] = {}
+    by_bin: dict[int, list[int]] = {}
+    for k in ks:
+        b = int(np.searchsorted(cum, k - offset, side="right"))
+        by_bin.setdefault(b, []).append(k)
+    for b, bks in by_bin.items():
+        below = offset + (int(cum[b - 1]) if b > 0 else 0)
+        sub = levels + ((lo, width, n_bins, b),)
+        if int(hist[b]) <= max_collect:
+            vals = np.sort(_collect(ds, col, sub))
+            for k in bks:
+                out[k] = float(vals[k - below])
+        else:
+            blo, bhi = lo + width * b, lo + width * (b + 1)
+            out.update(_select_kth(ds, col, bks, sub, blo, bhi, n_bins,
+                                   max_collect, offset=below))
+    return out
+
+
+def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096,
+                    max_collect: int = 1 << 20) -> pa.Table:
+    """Exact quantiles of ``ds[col]`` → ``pa.Table(q, value)``.
+
+    ``value`` is the element at zero-based rank ``floor(q·(n-1))`` in
+    sorted order — bit-equal to SQL ``ORDER BY col LIMIT 1 OFFSET k``.
+    """
+    ds = ds.select_columns([col]).materialize()  # 3+ passes share one scan
+    n, lo, hi = _minmax_count(ds, col)
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    ks = sorted({int(np.floor(q * (n - 1))) for q in qs})
+    if lo == hi:
+        kth = {k: lo for k in ks}
+    else:
+        kth = _select_kth(ds, col, ks, (), lo, hi, n_bins, max_collect, offset=0)
+    return pa.table({
+        "q": pa.array([float(q) for q in qs], pa.float64()),
+        "value": pa.array([kth[int(np.floor(q * (n - 1)))] for q in qs],
+                          pa.float64()),
+    })

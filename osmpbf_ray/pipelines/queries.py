@@ -1380,6 +1380,59 @@ def q_tile_rollup(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow")
 
 
+def q_anti_join_orders(sf_dir: str):
+    """Distributed anti-join (NOT EXISTS): orders with no lineitems.
+    Size-gated like every other small-side attach — right keys ≤64 MiB
+    broadcast once and filter map-side with zero shuffle; above the
+    bound the keys co-partition with the left rows
+    (functions/joins.py:anti_join)."""
+    from osmpbf_ray.functions.joins import anti_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return anti_join(orders, li, key="o_orderkey", right_key="l_orderkey")
+
+
+def q_event_lag(sf_dir: str):
+    """Offset window (lag() OVER (PARTITION BY user ORDER BY ts, id)):
+    per-event previous event id and gap in µs, co-partitioned by user —
+    one lexsort + shifted take per partition, no global sort
+    (functions/window.py:partitioned_lag)."""
+    from osmpbf_ray.functions import window
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    lagged = window.partitioned_lag(ev, "user_id", ["ts", "event_id"],
+                                    lag_cols=["event_id", "ts"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64())
+        prev_ts = batch.column("ts_lag").cast(pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "prev_event_id": pc.fill_null(batch.column("event_id_lag"), -1),
+            "gap_us": pc.fill_null(pc.subtract(ts, prev_ts), -1),
+        })
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_quantiles_price(sf_dir: str):
+    """Distributed EXACT quantiles (order statistics) of o_totalprice
+    with NO global sort: streaming histogram passes locate each target
+    rank's bin, only needed-bin rows are fetched, oversized bins refine
+    recursively (functions/quantile.py — bin membership uses one weakly
+    monotone index formula everywhere, so float edge rounding cannot
+    break rank exactness)."""
+    from osmpbf_ray.functions.quantile import exact_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal audio: opaque PCM binary column → actor-pool windowed
     feature stage (per-window sum-of-squares, zero crossings, RMS),
@@ -1678,6 +1731,9 @@ def queries() -> dict:
         "video_frame_stats": q_video_frame_stats,
         "top_orders_per_cust": q_top_orders_per_cust,
         "tile_rollup": q_tile_rollup,
+        "anti_join_orders": q_anti_join_orders,
+        "event_lag": q_event_lag,
+        "quantiles_price": q_quantiles_price,
         "count_all": q_count_all,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
@@ -1688,13 +1744,11 @@ def queries() -> dict:
         "pricing_summary": q_pricing_summary,
         "salted_group_count": q_salted_group_count,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "tile_assign": q_tile_assign,
         "tile_stats": q_tile_stats,
         "pip_triangle": q_pip_triangle,
         "knn_embeddings": q_knn_embeddings,
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
-        "window_agg": q_window_agg,
         "sessionize": q_sessionize,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
@@ -1715,12 +1769,16 @@ def queries() -> dict:
         "embedding_near_dup": q_embedding_near_dup,
         "image_decode": q_image_decode,
         "approx_distinct": q_approx_distinct,
-        "image_resize": q_image_resize,
         "ngram_verify": q_ngram_verify,
         "distinct_pairs": q_distinct_pairs,
         "top_k_orders": q_top_k_orders,
         "union_orders": q_union_orders,
-        # --- r3-green tail (50-row-cap overflow; class covered above) ---
+        # --- r3-green tail (50-row-cap overflow; class covered above:
+        # tile_assign→tile_stats/tile_rollup, image_resize→image_decode,
+        # window_agg→pricing_summary(fold)+sessionize/event_lag(window)) ---
+        "tile_assign": q_tile_assign,
+        "image_resize": q_image_resize,
+        "window_agg": q_window_agg,
         "relation_resolve": q_relation_resolve,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "video_frame_sample": q_video_frame_sample,
@@ -2364,6 +2422,27 @@ def oracle_sql() -> dict:
         "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
         "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey) <= 2"
+    )
+    sql["anti_join_orders"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey)"
+    )
+    sql["event_lag"] = (
+        "SELECT event_id, user_id, "
+        "CAST(coalesce(lag(event_id) OVER w, -1) AS BIGINT) AS prev_event_id, "
+        "CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT)"
+        " AS gap_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    q_vals = ", ".join(f"({q})" for q in _QUANTILE_QS)
+    sql["quantiles_price"] = (
+        "WITH s AS (SELECT o_totalprice AS v, "
+        "row_number() OVER (ORDER BY o_totalprice) - 1 AS r, "
+        "count(*) OVER () AS c FROM orders) "
+        f"SELECT CAST(q AS DOUBLE) AS q, v AS value FROM s "
+        f"JOIN (VALUES {q_vals}) AS qs(q) "
+        "ON s.r = CAST(floor(q * (c - 1)) AS BIGINT)"
     )
     sql["video_frame_stats"] = _video_sql(1)
     sql["video_frame_sample"] = _video_sql(_VIDEO_K)

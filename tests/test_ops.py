@@ -1,0 +1,121 @@
+"""Anti-join, offset window (lag), exact-quantile operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from osmpbf_ray.functions import window
+from osmpbf_ray.functions.joins import anti_join, partitioned_anti_join
+from osmpbf_ray.functions.quantile import exact_quantiles
+
+
+def _anti_fixture():
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "k": rng.integers(0, 400, 1000),
+        "payload": np.arange(1000, dtype=np.int64),
+    })
+    right = pa.table({"rk": rng.integers(0, 300, 2000)})
+    expect = set(left.column("k").to_numpy()) - set(right.column("rk").to_numpy())
+    return left, right, expect
+
+
+def test_anti_join_broadcast_and_partitioned_identical():
+    left, right, expect = _anti_fixture()
+    outs = []
+    for bb in (64 << 20, 0):  # broadcast path, then forced-distributed
+        out = anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                        key="k", right_key="rk", broadcast_bytes=bb).to_pandas()
+        assert set(out["k"]) == expect
+        outs.append(out.sort_values(["k", "payload"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    # row multiplicity preserved: every qualifying left row comes through
+    k = left.column("k").to_numpy()
+    assert len(outs[0]) == int(np.isin(k, np.array(sorted(expect))).sum())
+
+
+def test_anti_join_null_left_keys_kept():
+    # SQL NOT EXISTS with an equality correlate: NULL never matches,
+    # so null-key left rows qualify — on BOTH paths
+    left = pa.table({"k": pa.array([1, None, 2, None], type=pa.int64()),
+                     "payload": pa.array([0, 1, 2, 3], type=pa.int64())})
+    right = pa.table({"rk": pa.array([1, 3], type=pa.int64())})
+    for bb in (64 << 20, 0):
+        out = anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                        key="k", right_key="rk", broadcast_bytes=bb).to_pandas()
+        assert sorted(out["payload"]) == [1, 2, 3]
+
+
+def test_partitioned_anti_join_empty_right():
+    left, _, _ = _anti_fixture()
+    right = pa.table({"rk": pa.array([], type=pa.int64())})
+    out = partitioned_anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                                key="k", right_key="rk").to_pandas()
+    assert len(out) == left.num_rows
+
+
+def test_partitioned_lag_matches_pandas():
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "key": rng.integers(0, 150, n),
+        "ts": rng.integers(0, 10**6, n),
+        "v": rng.normal(size=n),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = window.partitioned_lag(rd.from_arrow(t), "key", ["ts", "id"],
+                                 lag_cols=["v", "id"]).to_pandas()
+    df = t.to_pandas().sort_values(["key", "ts", "id"])
+    g = df.groupby("key")
+    df["v_lag"], df["id_lag"] = g["v"].shift(1), g["id"].shift(1)
+    merged = out.set_index("id").sort_index()
+    expd = df.set_index("id").sort_index()
+    assert len(merged) == n
+    assert np.allclose(merged["v_lag"], expd["v_lag"], equal_nan=True)
+    a, b = merged["id_lag"].fillna(-1), expd["id_lag"].fillna(-1)
+    assert (a.to_numpy() == b.to_numpy()).all()
+    # exactly one null lag per key (its first row)
+    assert merged["id_lag"].isna().sum() == df["key"].nunique()
+
+
+def test_exact_quantiles_matches_numpy_sorted():
+    rng = np.random.default_rng(9)
+    # heavy duplicates + skew to stress bin boundaries
+    v = np.round(np.r_[rng.lognormal(3, 1, 7000), rng.integers(0, 5, 3000)], 2)
+    ds = rd.from_arrow(pa.table({"x": v}))
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    sv = np.sort(v)
+    expect = [sv[int(np.floor(q * (len(v) - 1)))] for q in qs]
+    got = exact_quantiles(ds, "x", qs, n_bins=64).to_pandas()
+    assert list(got["q"]) == qs
+    assert got["value"].tolist() == expect
+
+
+def test_exact_quantiles_refinement_path():
+    # max_collect=1 forces recursive bin refinement on nearly every rank
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=3000)
+    ds = rd.from_arrow(pa.table({"x": v}))
+    qs = [0.1, 0.5, 0.9]
+    sv = np.sort(v)
+    expect = [sv[int(np.floor(q * (len(v) - 1)))] for q in qs]
+    got = exact_quantiles(ds, "x", qs, n_bins=8, max_collect=1).to_pandas()
+    assert got["value"].tolist() == expect
+
+
+def test_exact_quantiles_degenerate():
+    # all-equal column: exhausted-range fast path
+    ds = rd.from_arrow(pa.table({"x": np.full(500, 3.25)}))
+    got = exact_quantiles(ds, "x", [0.1, 0.9]).to_pandas()
+    assert got["value"].tolist() == [3.25, 3.25]
+    # empty column
+    empty = rd.from_arrow(pa.table({"x": pa.array([], type=pa.float64())}))
+    assert exact_quantiles(empty, "x", [0.5]).num_rows == 0
+    # one massive duplicate pile + a tail, tiny max_collect: the
+    # unique+count terminal path must fire and stay exact
+    v = np.r_[np.full(2000, 7.0), np.array([1.0, 9.0])]
+    ds2 = rd.from_arrow(pa.table({"x": v}))
+    sv = np.sort(v)
+    qs = [0.0, 0.5, 1.0]
+    got = exact_quantiles(ds2, "x", qs, n_bins=4, max_collect=10).to_pandas()
+    assert got["value"].tolist() == [sv[int(np.floor(q * (len(v) - 1)))] for q in qs]
