@@ -266,6 +266,9 @@ BENCH_QUERIES = [
     "video_frame_stats",
     "top_orders_per_cust",
     "tile_rollup",
+    "anti_join_orders",
+    "event_lag",
+    "quantiles_price",
 ]
 
 
