@@ -1356,14 +1356,14 @@ def q_top_orders_per_cust(sf_dir: str):
 
 
 def q_tile_rollup(sf_dir: str):
-    """Multi-resolution tile aggregation tree: counts at z=6 rolled up
-    to z=4 and z=2 via cell_parent — the input is scanned once; coarser
-    levels aggregate the previous level's tiny table (tiles.tile_rollup).
+    """Multi-resolution tile aggregation tree: counts at z=6, 4, 2 in
+    ONE exchange — per-batch partials for every level, keyed by the
+    coarsest ancestor so each subtree sums locally (tiles.tile_rollup).
     The oracle computes each level DIRECTLY from the points, so the
     compare proves parent-of-assignment == direct coarse assignment."""
     levels = tiles_mod.tile_rollup(_customer_points(sf_dir), base_z=6,
                                    parent_zs=[4, 2], lat_col="lat",
-                                   lon_col="lon", final="partitioned")
+                                   lon_col="lon")
     out = None
     for z in (6, 4, 2):
         t = levels[z].select_columns(["tile_z", "tile_x", "tile_y", "n"])

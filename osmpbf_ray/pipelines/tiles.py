@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osmpbf_ray.stages import spatial
 
@@ -147,67 +148,92 @@ def top_k_tiles(points_ds, z: int, k: int):
 
 
 def tile_rollup(points_ds, base_z: int, parent_zs: list[int],
-                lat_col="lat", lon_col="lon", final: str = "shuffle") -> dict:
+                lat_col="lat", lon_col="lon", materialize: bool = True) -> dict:
     """Multi-resolution tile counts: {z: Dataset(tile, tile_z, tile_x,
     tile_y, n)} for ``base_z`` and every coarser ``parent_zs`` level.
 
-    The input is scanned ONCE (the base-z tile_stats); each coarser
-    level rolls up from the PREVIOUS level's already-aggregated table
-    (≤ 4^z rows) via ``cell_parent`` — the slippy x/y floor composition
-    makes parent-of-assignment identical to direct assignment at the
-    coarser zoom, so the rollup is exact, and no level ever re-reads
-    the input. The classic aggregation-tree shape: at 100 TB the wide
-    work happens once, the tree is metadata-sized.
+    Aggregation-tree shape with ONE exchange for the whole tree: each
+    batch emits per-level partial counts (base-level unique+count, then
+    each parent level rolled up from the base partials in-memory — the
+    slippy x/y floor composition makes parent-of-assignment identical
+    to direct coarse assignment, so the rollup is exact), keyed by the
+    tile's COARSEST-level ancestor. Every level of a subtree therefore
+    co-locates in one group and the whole tree sums in a single
+    ``groupby`` — vs one all-to-all per level (3 exchanges measured
+    ~8 s on a 4k-tile table; exchange fixed cost, not data).
+
+    Packed cell ids carry their zoom (spatial.pack_cell), so one
+    unique/bincount per group aggregates all levels at once.
+
+    The combined result (Σ_z ≤ 4^z rows — metadata-sized for z ≤ ~12)
+    is materialized by default so the per-level views share one
+    execution instead of re-running the scan per consumer (lazy
+    Datasets re-execute their whole DAG per consumer). Pass
+    ``materialize=False`` for very deep base zooms and consume levels
+    once each.
+
+    Parallelism bound: groups = #distinct coarsest-level cells
+    (4^min(parent_zs)). For deep trees partition at an intermediate
+    level and cascade calls.
     """
-    from ray.data.aggregate import Sum
+    zs = sorted({base_z, *parent_zs}, reverse=True)
+    if zs[0] != base_z:
+        raise ValueError("parent_zs must all be coarser (<=) than base_z")
+    coarsest = zs[-1]
 
-    levels = {base_z: tile_stats(points_ds, base_z, lat_col, lon_col, final=final)}
-    prev = levels[base_z]
-    for z in sorted(parent_zs, reverse=True):
-        def parent_partial(batch: pa.Table, _z=z) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table({"tile": pa.array([], type=pa.int64()),
-                                 "partial_count": pa.array([], type=pa.int64())})
-            parents = spatial.cell_parent(batch.column("tile").to_numpy(), _z)
-            uniq, inv = np.unique(parents, return_inverse=True)
-            n = np.bincount(inv, weights=batch.column("n").to_numpy()).astype(np.int64)
-            return pa.table({"tile": uniq, "partial_count": n})
+    def level_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tile": pa.array([], type=pa.int64()),
+                          "partial_count": pa.array([], type=pa.int64()),
+                          "__pkey": pa.array([], type=pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        base, counts = np.unique(spatial.lonlat_to_cell(lat, lon, base_z),
+                                 return_counts=True)
+        counts = counts.astype(np.int64)
+        tiles, ns = [base], [counts]
+        for z in zs[1:]:
+            parents = spatial.cell_parent(base, z)
+            u, inv = np.unique(parents, return_inverse=True)
+            tiles.append(u)
+            ns.append(np.bincount(inv, weights=counts).astype(np.int64))
+        tile = np.concatenate(tiles)
+        return pa.table({
+            "tile": tile,
+            "partial_count": np.concatenate(ns),
+            "__pkey": spatial.cell_parent(tile, coarsest),
+        })
 
-        partials = prev.map_batches(parent_partial, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+    def sum_subtree(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"tile": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, inv = np.unique(g.column("tile").to_numpy(), return_inverse=True)
+        n = np.bincount(inv, weights=g.column("partial_count").to_numpy())
+        return pa.table({"tile": uniq, "n": n.astype(np.int64)})
 
-        # bounded key space (4^z tiles): hash-partition to a few groups
-        # and run ONE vectorized bincount per group — Ray's per-key
-        # aggregate pays ~ms per distinct key (3 exchanges took 11 s on
-        # a 4k-row table)
-        def add_pkey(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("__pkey", pa.array([], type=pa.int64()))
-            pk = (batch.column("tile").to_numpy() % np.int64(16)).astype(np.int64)
-            return batch.append_column("__pkey", pa.array(pk))
-
-        def sum_tiles(g: pa.Table) -> pa.Table:
-            if g.num_rows == 0:
-                return pa.table({"tile": pa.array([], type=pa.int64()),
-                                 "n": pa.array([], type=pa.int64())})
-            uniq, inv = np.unique(g.column("tile").to_numpy(), return_inverse=True)
-            n = np.bincount(inv, weights=g.column("partial_count").to_numpy())
-            return pa.table({"tile": uniq, "n": n.astype(np.int64)})
-
-        agg = (
-            partials.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("__pkey")
-            .map_groups(sum_tiles, batch_format="pyarrow")
+    def unpack(batch: pa.Table) -> pa.Table:
+        zz, x, y = spatial.unpack_cell(batch.column("tile").to_numpy())
+        return (
+            batch.append_column("tile_z", pa.array(zz.astype(np.int32)))
+            .append_column("tile_x", pa.array(x))
+            .append_column("tile_y", pa.array(y))
         )
 
-        def unpack(batch: pa.Table) -> pa.Table:
-            zz, x, y = spatial.unpack_cell(batch.column("tile").to_numpy())
-            return (
-                batch.append_column("tile_z", pa.array(zz.astype(np.int32)))
-                .append_column("tile_x", pa.array(x))
-                .append_column("tile_y", pa.array(y))
-            )
+    combined = (
+        points_ds.map_batches(level_partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(sum_subtree, batch_format="pyarrow")
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+    if materialize:
+        combined = combined.materialize()
 
-        levels[z] = agg.map_batches(unpack, batch_format="pyarrow")
-        prev = levels[z]
-    return levels
+    def pick(z: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("tile_z"), z))
+        return f
+
+    return {z: combined.map_batches(pick(z), batch_format="pyarrow") for z in zs}

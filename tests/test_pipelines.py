@@ -98,14 +98,14 @@ def test_salted_groupby_matches_plain():
 
 
 def test_tile_rollup_matches_direct_assignment():
-    """Rolling up z=6 counts via cell_parent equals assigning points
-    directly at each coarser zoom; 'partitioned' final == 'shuffle'."""
+    """The single-exchange subtree rollup equals assigning points
+    directly at each zoom, materialized and lazy."""
     images = fixtures.make_images(500)
     lat = images.column("lat").to_numpy()
     lon = images.column("lon").to_numpy()
-    for final in ("shuffle", "partitioned"):
+    for materialize in (True, False):
         levels = tiles.tile_rollup(rd.from_arrow(images), base_z=6,
-                                   parent_zs=[4, 2], final=final)
+                                   parent_zs=[4, 2], materialize=materialize)
         assert sorted(levels) == [2, 4, 6]
         for z, ds in levels.items():
             stats = ds.to_pandas()
