@@ -92,7 +92,7 @@ def partitioned_anti_join(left_ds, right_ds, key: str, right_key: str | None = N
     rkey = right_key or key
     if n_buckets is None:
         n_buckets = max(sized_fanout(left_ds), sized_fanout(right_ds))
-    lschema = left_schema if left_schema is not None else left_ds.schema().base_schema
+    lschema = left_schema if left_schema is not None else as_arrow_schema(left_ds.schema())
     lcols = list(lschema.names)
     unified = pa.schema(
         [pa.field("bucket", pa.int64()), pa.field("__side", pa.int8())]
@@ -269,6 +269,23 @@ def resolve_way_locations(ways_ds, nodes_ds, n_buckets: int | None = None):
     return partitioned_hash_join(exploded, nodes_ds, key="id", n_buckets=n_buckets)
 
 
+def as_arrow_schema(ds_schema) -> pa.Schema:
+    """Dataset schema → pa.Schema (pandas-backed upstreams map numpy dtypes)."""
+    base = ds_schema.base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(ds_schema.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        else:
+            try:
+                fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+            except pa.ArrowNotImplementedError:
+                fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
 def splitmix_u64(x) -> np.ndarray:
     z = np.asarray(x, dtype=np.int64).view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
@@ -375,22 +392,6 @@ def partitioned_hash_join(
                 )
             )
         return pa.concat_tables(parts)
-
-    def as_arrow_schema(ds_schema) -> pa.Schema:
-        base = ds_schema.base_schema
-        if isinstance(base, pa.Schema):
-            return base
-        # pandas-backed upstream (e.g. groupby aggregates): map numpy dtypes
-        fields = []
-        for name, typ in zip(ds_schema.names, base.types):
-            if isinstance(typ, pa.DataType):
-                fields.append(pa.field(name, typ))
-            else:
-                try:
-                    fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
-                except pa.ArrowNotImplementedError:
-                    fields.append(pa.field(name, pa.string()))
-        return pa.schema(fields)
 
     # ds.schema() on a LAZY input executes its plan up to the first block
     # — through an upstream shuffle that means (almost) the whole plan,
