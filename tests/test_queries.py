@@ -47,6 +47,12 @@ def test_query_matches_oracle(name, con):
             assert (gv == xv).all(), f"{name}.{c} value mismatch"
 
 
+def test_registry_oracle_parity():
+    """Every registry query carries a DuckDB oracle and vice versa —
+    a new queries() entry can't silently ship unoracled."""
+    assert set(q.queries()) == set(q.oracle_sql())
+
+
 @pytest.mark.parametrize(
     "name,min_rows",
     [("ivf_knn", 1), ("image_resize", 1), ("knn_join_geo_kring", 1), ("flagship", 0)],
