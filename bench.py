@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "anti_join_orders",
     "event_lag",
     "quantiles_price",
+    "grouped_quantiles_events",
 ]
 
 

@@ -169,6 +169,61 @@ def _select_kth(ds, col: str, ks: list[int], levels: tuple[Level, ...],
     return out
 
 
+def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
+                      n_parts: int | None = None) -> "object":
+    """Per-group exact quantiles (the p99-per-key class) →
+    Dataset(key_col, q, value): for each group, the element at
+    zero-based rank ``floor(q·(cnt_g − 1))`` of the group's sorted
+    ``col``. Hash-partition by key (same-key rows co-locate, fan-out
+    sized from the input), then ONE lexsort + segment gather per
+    partition — no per-group Python, no global sort; per-partition
+    memory is rows/n_parts at any scale.
+    """
+    from osmpbf_ray.functions.joins import splitmix_u64
+    from osmpbf_ray.functions.partitioning import sized_fanout
+
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
+    qarr = np.array([float(q) for q in qs], dtype=np.float64)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__pkey", pa.array([], type=pa.int64()))
+        h = splitmix_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__pkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
+
+    def part_quantiles(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__pkey"])
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(k) == 0:
+            return pa.table({key_col: t.column(key_col),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        lens = np.diff(np.r_[starts, len(ks)])
+        # rank index per (group, q): starts + floor(q·(len−1)), gathered
+        # for all qs at once
+        idx = (starts[:, None] +
+               np.floor(qarr[None, :] * (lens[:, None] - 1)).astype(np.int64))
+        return pa.table({
+            key_col: pa.array(np.repeat(ks[starts], len(qarr)),
+                              type=t.schema.field(key_col).type),
+            "q": np.tile(qarr, len(starts)),
+            "value": vs[idx].ravel(),
+        })
+
+    return (
+        ds.select_columns([key_col, col])
+        .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(part_quantiles, batch_format="pyarrow")
+    )
+
+
 def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096,
                     max_collect: int = 1 << 20) -> pa.Table:
     """Exact quantiles of ``ds[col]`` → ``pa.Table(q, value)``.

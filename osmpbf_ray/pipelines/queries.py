@@ -1433,6 +1433,20 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+def q_grouped_quantiles_events(sf_dir: str):
+    """Per-group exact quantiles (p50/p90/p99 of event value per user):
+    hash-partition by key, one lexsort + segment gather per partition —
+    the windowed-percentile class with no global sort
+    (functions/quantile.py:grouped_quantiles)."""
+    from osmpbf_ray.functions.quantile import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_quantiles(ev, "user_id", "value", _GROUPED_QS)
+
+
+_GROUPED_QS = [0.5, 0.9, 0.99]
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal audio: opaque PCM binary column → actor-pool windowed
     feature stage (per-window sum-of-squares, zero crossings, RMS),
@@ -1734,6 +1748,7 @@ def queries() -> dict:
         "anti_join_orders": q_anti_join_orders,
         "event_lag": q_event_lag,
         "quantiles_price": q_quantiles_price,
+        "grouped_quantiles_events": q_grouped_quantiles_events,
         "count_all": q_count_all,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
@@ -1770,12 +1785,13 @@ def queries() -> dict:
         "image_decode": q_image_decode,
         "approx_distinct": q_approx_distinct,
         "ngram_verify": q_ngram_verify,
-        "distinct_pairs": q_distinct_pairs,
         "top_k_orders": q_top_k_orders,
         "union_orders": q_union_orders,
         # --- r3-green tail (50-row-cap overflow; class covered above:
         # tile_assign→tile_stats/tile_rollup, image_resize→image_decode,
-        # window_agg→pricing_summary(fold)+sessionize/event_lag(window)) ---
+        # window_agg→pricing_summary(fold)+sessionize/event_lag(window),
+        # distinct_pairs→salted_group_count+exact_dedup_docs) ---
+        "distinct_pairs": q_distinct_pairs,
         "tile_assign": q_tile_assign,
         "image_resize": q_image_resize,
         "window_agg": q_window_agg,
@@ -2442,7 +2458,20 @@ def oracle_sql() -> dict:
         "count(*) OVER () AS c FROM orders) "
         f"SELECT CAST(q AS DOUBLE) AS q, v AS value FROM s "
         f"JOIN (VALUES {q_vals}) AS qs(q) "
-        "ON s.r = CAST(floor(q * (c - 1)) AS BIGINT)"
+        # q must multiply as DOUBLE: DECIMAL q·(c-1) is exact while the
+        # engine floors an IEEE float64 product — at an unlucky n (e.g.
+        # 0.99·100) the exact product lands on an integer the float sits
+        # just below, and the two floors diverge by one rank
+        "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    gq_vals = ", ".join(f"({q})" for q in _GROUPED_QS)
+    sql["grouped_quantiles_events"] = (
+        "WITH s AS (SELECT user_id, value AS v, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS r, "
+        "count(*) OVER (PARTITION BY user_id) AS c FROM events) "
+        f"SELECT user_id, CAST(q AS DOUBLE) AS q, v AS value FROM s "
+        f"JOIN (VALUES {gq_vals}) AS qs(q) "
+        "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
     )
     sql["video_frame_stats"] = _video_sql(1)
     sql["video_frame_sample"] = _video_sql(_VIDEO_K)

@@ -6,7 +6,7 @@ import ray.data as rd
 
 from osmpbf_ray.functions import window
 from osmpbf_ray.functions.joins import anti_join, partitioned_anti_join
-from osmpbf_ray.functions.quantile import exact_quantiles
+from osmpbf_ray.functions.quantile import exact_quantiles, grouped_quantiles
 
 
 def _anti_fixture():
@@ -101,6 +101,22 @@ def test_exact_quantiles_refinement_path():
     expect = [sv[int(np.floor(q * (len(v) - 1)))] for q in qs]
     got = exact_quantiles(ds, "x", qs, n_bins=8, max_collect=1).to_pandas()
     assert got["value"].tolist() == expect
+
+
+def test_grouped_quantiles_matches_brute_force():
+    rng = np.random.default_rng(17)
+    n = 6000
+    t = pa.table({"g": rng.integers(0, 120, n),
+                  "v": np.round(rng.normal(size=n), 3)})
+    qs = [0.0, 0.5, 0.9, 1.0]
+    out = grouped_quantiles(rd.from_arrow(t), "g", "v", qs).to_pandas()
+    df = t.to_pandas()
+    got = {(r.g, r.q): r.value for r in out.itertuples()}
+    for g, grp in df.groupby("g"):
+        sv = np.sort(grp["v"].to_numpy())
+        for q in qs:
+            assert got[(g, q)] == sv[int(np.floor(q * (len(sv) - 1)))], (g, q)
+    assert len(out) == df["g"].nunique() * len(qs)
 
 
 def test_exact_quantiles_degenerate():
