@@ -1433,6 +1433,25 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+def q_left_join_lineitems(sf_dir: str):
+    """LEFT OUTER partitioned hash join — exercises the unmatched-side
+    typed-null path of functions/joins.py:partitioned_hash_join (257
+    orders have no lineitems at sf0.01, so the null rows are real).
+    Keyed by orderkey; a modulo filter keeps the matched side small."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy()
+        return batch.filter(pa.array(k % 7 == 0))
+
+    orders = orders.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_linenumber", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    return joins.partitioned_hash_join(orders, li, key="o_orderkey", how="left")
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Per-group exact quantiles (p50/p90/p99 of event value per user):
     hash-partition by key, one lexsort + segment gather per partition —
@@ -1749,6 +1768,7 @@ def queries() -> dict:
         "event_lag": q_event_lag,
         "quantiles_price": q_quantiles_price,
         "grouped_quantiles_events": q_grouped_quantiles_events,
+        "left_join_lineitems": q_left_join_lineitems,
         "count_all": q_count_all,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
@@ -1774,7 +1794,6 @@ def queries() -> dict:
         "way_geometry": q_way_geometry,
         "relation_resolve_typed": q_relation_resolve_typed,
         "phash_dedup": q_phash_dedup,
-        "knn_join_geo": q_knn_join_geo,
         "bloom_semi_join": q_bloom_semi_join,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1790,7 +1809,9 @@ def queries() -> dict:
         # --- r3-green tail (50-row-cap overflow; class covered above:
         # tile_assign→tile_stats/tile_rollup, image_resize→image_decode,
         # window_agg→pricing_summary(fold)+sessionize/event_lag(window),
-        # distinct_pairs→salted_group_count+exact_dedup_docs) ---
+        # distinct_pairs→salted_group_count+exact_dedup_docs,
+        # knn_join_geo→knn_join_geo_kring (exact) + knn_embeddings) ---
+        "knn_join_geo": q_knn_join_geo,
         "distinct_pairs": q_distinct_pairs,
         "tile_assign": q_tile_assign,
         "image_resize": q_image_resize,
@@ -2463,6 +2484,11 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    sql["left_join_lineitems"] = (
+        "SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity "
+        "FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderkey % 7 = 0"
     )
     gq_vals = ", ".join(f"({q})" for q in _GROUPED_QS)
     sql["grouped_quantiles_events"] = (
