@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "event_lag",
     "quantiles_price",
     "grouped_quantiles_events",
+    "rolling_spend",
+    "stratified_sample",
 ]
 
 

@@ -23,6 +23,20 @@ from osmpbf_ray.functions.joins import splitmix_u64
 from osmpbf_ray.functions.partitioning import sized_fanout
 
 
+def _group_hash(a: np.ndarray) -> np.ndarray:
+    """Deterministic partition hash for any key dtype. String keys go
+    through crc32 per DISTINCT value (process-stable, unlike Python's
+    salted hash(), and cheap: group keys have few distincts per batch)
+    before the splitmix avalanche."""
+    if a.dtype.kind in "OUS":
+        import zlib
+
+        uniq, inv = np.unique(a.astype(str), return_inverse=True)
+        h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
+        return splitmix_u64(h[inv])
+    return splitmix_u64(a)
+
+
 def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
     a = col.to_numpy(zero_copy_only=False)
     if a.dtype.kind == "M":
@@ -73,7 +87,7 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
     def add_gkey(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("__gkey", pa.array([], type=pa.int64()))
-        h = splitmix_u64(batch.column(group_col).to_numpy(zero_copy_only=False))
+        h = _group_hash(batch.column(group_col).to_numpy(zero_copy_only=False))
         return batch.append_column(
             "__gkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
 
@@ -93,3 +107,26 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         .groupby("__gkey")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def stratified_sample(ds, group_col: str, k: int, id_col: str,
+                      n_parts: int | None = None):
+    """Deterministic k-per-group sample (the per-domain-cap op of corpus
+    curation): rank rows within each group by ``splitmix64(id)`` and
+    keep the first ``k``. Partition- and rerun-invariant — membership
+    depends only on ids, never on block layout — and exactly
+    reproducible in SQL via the splitmix64 CTE. Built on
+    :func:`grouped_topk`, so it inherits the per-batch combiner and
+    hash-partitioned reduce."""
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__h", pa.array([], type=pa.uint64()))
+        h = splitmix_u64(batch.column(id_col).to_numpy(zero_copy_only=False))
+        return batch.append_column("__h", pa.array(h))
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    top = grouped_topk(hashed, group_col, "__h", k, ascending=True,
+                       tiebreak=id_col, n_parts=n_parts, precombine=True)
+    return top.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow", zero_copy_batch=True)

@@ -1433,6 +1433,42 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+def q_rolling_spend(sf_dir: str):
+    """Bounded rolling-window aggregate: 3-row moving sum of
+    floor(totalprice) per customer in (orderdate, orderkey) order — one
+    segment-local cumsum + shifted difference per partition, O(rows)
+    independent of window width (functions/window.py:rolling_sum).
+    floor() makes the measure integer-valued so float adds/subtracts
+    are exact and order-independent; the unique orderkey tiebreak makes
+    the frame deterministic (lineitem's (orderkey, linenumber) has
+    duplicate pairs, which would leave ROWS frames ambiguous)."""
+    from osmpbf_ray.functions import window
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def add_spend(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch.column("o_totalprice").to_numpy())
+        return batch.append_column("spend", pa.array(v))
+
+    rolled = window.rolling_sum(
+        orders.map_batches(add_spend, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey", ["o_orderdate", "o_orderkey"], "spend",
+        window=3, out_col="roll_spend")
+    return rolled.select_columns(["o_custkey", "o_orderkey", "roll_spend"])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic k-per-group sampling (per-domain caps in corpus
+    curation): 5 documents per language ranked by splitmix64(doc_id) —
+    partition/rerun-invariant, string group keys, built on grouped_topk
+    (functions/ranking.py:stratified_sample)."""
+    from osmpbf_ray.functions import ranking
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ranking.stratified_sample(docs, "lang", k=5, id_col="doc_id")
+
+
 def q_left_join_lineitems(sf_dir: str):
     """LEFT OUTER partitioned hash join — exercises the unmatched-side
     typed-null path of functions/joins.py:partitioned_hash_join (257
@@ -1769,13 +1805,13 @@ def queries() -> dict:
         "quantiles_price": q_quantiles_price,
         "grouped_quantiles_events": q_grouped_quantiles_events,
         "left_join_lineitems": q_left_join_lineitems,
-        "count_all": q_count_all,
+        "stratified_sample": q_stratified_sample,
+        "rolling_spend": q_rolling_spend,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
         "hash_join": q_hash_join,
         "coord_decode": q_coord_decode,
-        "delta_decode": q_delta_decode,
         "pricing_summary": q_pricing_summary,
         "salted_group_count": q_salted_group_count,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1810,7 +1846,11 @@ def queries() -> dict:
         # tile_assign→tile_stats/tile_rollup, image_resize→image_decode,
         # window_agg→pricing_summary(fold)+sessionize/event_lag(window),
         # distinct_pairs→salted_group_count+exact_dedup_docs,
-        # knn_join_geo→knn_join_geo_kring (exact) + knn_embeddings) ---
+        # knn_join_geo→knn_join_geo_kring (exact) + knn_embeddings,
+        # delta_decode→pbf_read (same dense-decode kernel end-to-end),
+        # count_all→tally_returnflag (same par_map_reduce driver)) ---
+        "count_all": q_count_all,
+        "delta_decode": q_delta_decode,
         "knn_join_geo": q_knn_join_geo,
         "distinct_pairs": q_distinct_pairs,
         "tile_assign": q_tile_assign,
@@ -2484,6 +2524,19 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    sql["rolling_spend"] = (
+        "SELECT o_custkey, o_orderkey, "
+        "SUM(floor(o_totalprice)) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_spend FROM orders"
+    )
+    sql["stratified_sample"] = (
+        _splitmix64_cte("doc_id", "doc_id, lang", "documents")
+        + " SELECT doc_id, lang, CAST(row_number() OVER "
+        "(PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rank "
+        "FROM smh QUALIFY row_number() OVER "
+        "(PARTITION BY lang ORDER BY h, doc_id) <= 5"
     )
     sql["left_join_lineitems"] = (
         "SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity "

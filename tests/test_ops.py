@@ -78,6 +78,47 @@ def test_partitioned_lag_matches_pandas():
     assert merged["id_lag"].isna().sum() == df["key"].nunique()
 
 
+def test_rolling_sum_matches_pandas():
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table({
+        "key": rng.integers(0, 80, n),
+        "ord": rng.permutation(n).astype(np.int64),  # unique order
+        "v": rng.integers(0, 500, n).astype(np.float64),
+    })
+    out = window.rolling_sum(rd.from_arrow(t), "key", ["ord"], "v",
+                             window=4, out_col="r").to_pandas()
+    df = t.to_pandas().sort_values(["key", "ord"])
+    df["r"] = (df.groupby("key")["v"]
+               .rolling(4, min_periods=1).sum().reset_index(level=0, drop=True))
+    m = out.set_index(["key", "ord"]).sort_index()
+    e = df.set_index(["key", "ord"]).sort_index()
+    assert len(m) == n
+    assert (m["r"].to_numpy() == e["r"].to_numpy()).all()
+
+
+def test_stratified_sample_deterministic_and_capped():
+    from osmpbf_ray.functions.ranking import stratified_sample
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    t = pa.table({
+        "domain": pa.array([f"d{int(x)}" for x in rng.integers(0, 12, n)]),
+        "id": rng.permutation(10 * n)[:n].astype(np.int64),
+    })
+    outs = []
+    for ds in (rd.from_arrow(t), rd.from_arrow(t).repartition(7)):
+        out = stratified_sample(ds, "domain", k=9, id_col="id").to_pandas()
+        # per-group cap, 1-based contiguous ranks
+        sizes = t.to_pandas().groupby("domain").size()
+        got = out.groupby("domain").size()
+        for d, s in sizes.items():
+            assert got[d] == min(9, s)
+        assert out.groupby("domain")["rank"].min().eq(1).all()
+        outs.append(set(zip(out["domain"], out["id"])))
+    assert outs[0] == outs[1]  # block-layout invariant
+
+
 def test_exact_quantiles_matches_numpy_sorted():
     rng = np.random.default_rng(9)
     # heavy duplicates + skew to stress bin boundaries
