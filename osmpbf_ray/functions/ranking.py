@@ -42,7 +42,14 @@ def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
     if a.dtype.kind == "M":
         a = a.astype("datetime64[us]").view(np.int64)
     if not ascending:
-        a = -a.astype(np.float64) if a.dtype.kind == "f" else -a.astype(np.int64)
+        if a.dtype.kind == "f":
+            a = -a.astype(np.float64)
+        elif a.dtype.kind == "u":
+            # unsigned can exceed int64 (e.g. splitmix hashes): reflect
+            # instead of negating, which would overflow
+            a = np.iinfo(np.uint64).max - a.astype(np.uint64)
+        else:
+            a = -a.astype(np.int64)
     return a
 
 
