@@ -144,20 +144,23 @@ def anti_join(left_ds, right_ds, key: str, right_key: str | None = None,
     """NOT-EXISTS join, size-gated like the LSH verify head
     (stages/dedup.py:candidate_semi_join):
 
-    * right side ≤ ``broadcast_bytes``: per-batch unique keys collect on
-      the driver and broadcast once via ``ray.put``; the left side
-      filters map-side with zero shuffle.
-    * larger (or unknown size): fully distributed
+    * right side provably ≤ ``broadcast_bytes``: per-batch unique keys
+      collect on the driver and broadcast once via ``ray.put``; the
+      left side filters map-side with zero shuffle. The gate reads PLAN
+      METADATA ONLY (``_meta_count`` × 8 B/key — available for file
+      reads and row-preserving ops, never triggers execution;
+      ``size_bytes()`` would EXECUTE a lazy upstream just to decide).
+    * larger or unknown size: fully distributed
       ``partitioned_anti_join`` — the right keys co-partition with the
       left rows, nothing materializes on the driver.
     """
     rkey = right_key or key
     try:
-        right_bytes = right_ds.size_bytes()
+        right_rows = right_ds._meta_count()
     except Exception:
-        right_bytes = None
-    if (broadcast_bytes is not None and right_bytes is not None
-            and right_bytes <= broadcast_bytes):
+        right_rows = None
+    if (broadcast_bytes is not None and right_rows is not None
+            and right_rows * 8 <= broadcast_bytes):
         def keys_partial(batch: pa.Table) -> pa.Table:
             u = np.unique(batch.column(rkey).drop_null().to_numpy(zero_copy_only=False))
             return pa.table({"k": u})

@@ -16,10 +16,61 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pyarrow as pa
+
+# top-level, not inside partition_hash: the hash runs on WORKERS, where
+# a runtime `from osmpbf_ray...` import fails when the driver's cwd
+# can't import the package (pickle-by-value ships module globals, not
+# runtime imports). joins.py imports partitioning lazily, so no cycle.
+from osmpbf_ray.functions.joins import splitmix_u64
 
 DEFAULT_TARGET_ROWS = 500_000
 DEFAULT_FLOOR = 64
 DEFAULT_CAP = 1 << 16
+
+
+def partition_hash(a: np.ndarray) -> np.ndarray:
+    """splitmix64 partition hash for any key dtype (uint64 out).
+
+    String/object keys go through crc32 per DISTINCT value
+    (process-stable, unlike Python's salted ``hash()``, and cheap —
+    group keys have few distincts per batch) before the splitmix
+    avalanche. Raises on float input carrying NaN (an int64 key column
+    that picked up nulls round-trips through float64 NaN, whose int
+    cast is undefined)."""
+    if a.dtype.kind in "OUS":
+        import zlib
+
+        uniq, inv = np.unique(a.astype(str), return_inverse=True)
+        h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
+        return splitmix_u64(h[inv])
+    if a.dtype.kind == "f" and np.isnan(a).any():
+        raise ValueError(
+            "null/NaN partition keys are unsupported (SQL windows put all "
+            "NULL keys in ONE partition; here each NaN would become its own "
+            "segment) — fill or filter the key column first"
+        )
+    return splitmix_u64(a)
+
+
+def add_hash_pkey(batch: pa.Table, key_col: str, n_parts: int,
+                  out_col: str = "__pkey") -> pa.Table:
+    """Append ``hash(key) % n_parts`` — the shared map-side step of every
+    hash-partitioned reduce (grouped top-k / lag / rolling / grouped
+    quantiles / partitioned tile final). Rejects NULL keys explicitly:
+    the segment reduces downstream compare adjacent keys, and NaN != NaN
+    would silently split the NULL partition into singletons."""
+    if batch.num_rows == 0:
+        return batch.append_column(out_col, pa.array([], type=pa.int64()))
+    col = batch.column(key_col)
+    if col.null_count:
+        raise ValueError(
+            f"null values in partition key {key_col!r} are unsupported — "
+            "fill or filter the key column first"
+        )
+    h = partition_hash(col.to_numpy(zero_copy_only=False))
+    return batch.append_column(
+        out_col, pa.array((h % np.uint64(n_parts)).view(np.int64)))
 
 
 def sized_fanout(

@@ -135,6 +135,20 @@ def _unique_counts(ds, col: str, levels: tuple[Level, ...]) -> tuple[np.ndarray,
     return u, np.array([acc[x] for x in u], dtype=np.int64)
 
 
+def _minmax_restricted(ds, col: str, levels: tuple[Level, ...]) -> tuple[float, float]:
+    def fold(batch: pa.Table):
+        v = _restrict(batch.column(col).drop_null().to_numpy(zero_copy_only=False),
+                      levels)
+        if len(v) == 0:
+            return (np.inf, -np.inf)
+        return (float(v.min()), float(v.max()))
+
+    return par_map_reduce(
+        ds, fold, lambda: (np.inf, -np.inf),
+        lambda a, b: (min(a[0], b[0]), max(a[1], b[1])),
+    )
+
+
 def _select_kth(ds, col: str, ks: list[int], levels: tuple[Level, ...],
                 lo: float, hi: float, n_bins: int, max_collect: int,
                 offset: int) -> dict[int, float]:
@@ -164,6 +178,19 @@ def _select_kth(ds, col: str, ks: list[int], levels: tuple[Level, ...],
                 out[k] = float(vals[k - below])
         else:
             blo, bhi = lo + width * b, lo + width * (b + 1)
+            if int(hist[b]) == int(hist.sum()):
+                # the grid learned nothing (the whole restricted set sits
+                # in one bin — e.g. >max_collect copies of 0.0, whose
+                # edge never exhausts since ulp(0) is subnormal): re-grid
+                # to the pile's TRUE value range. One extra pass, and the
+                # next level provably discriminates (min lands in bin 0,
+                # max in the last bin) or resolves outright.
+                m_lo, m_hi = _minmax_restricted(ds, col, sub)
+                if m_lo == m_hi:
+                    for k in bks:
+                        out[k] = m_lo
+                    continue
+                blo, bhi = m_lo, m_hi
             out.update(_select_kth(ds, col, bks, sub, blo, bhi, n_bins,
                                    max_collect, offset=below))
     return out
@@ -179,19 +206,14 @@ def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
     partition — no per-group Python, no global sort; per-partition
     memory is rows/n_parts at any scale.
     """
-    from osmpbf_ray.functions.joins import splitmix_u64
-    from osmpbf_ray.functions.partitioning import sized_fanout
+    from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
     if n_parts is None:
         n_parts = sized_fanout(ds)
     qarr = np.array([float(q) for q in qs], dtype=np.float64)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__pkey", pa.array([], type=pa.int64()))
-        h = splitmix_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "__pkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
+        return add_hash_pkey(batch, key_col, n_parts)
 
     def part_quantiles(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__pkey"])

@@ -20,21 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from osmpbf_ray.functions.joins import splitmix_u64
-from osmpbf_ray.functions.partitioning import sized_fanout
-
-
-def _group_hash(a: np.ndarray) -> np.ndarray:
-    """Deterministic partition hash for any key dtype. String keys go
-    through crc32 per DISTINCT value (process-stable, unlike Python's
-    salted hash(), and cheap: group keys have few distincts per batch)
-    before the splitmix avalanche."""
-    if a.dtype.kind in "OUS":
-        import zlib
-
-        uniq, inv = np.unique(a.astype(str), return_inverse=True)
-        h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
-        return splitmix_u64(h[inv])
-    return splitmix_u64(a)
+from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
 
 def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
@@ -42,6 +28,11 @@ def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
     if a.dtype.kind == "M":
         a = a.astype("datetime64[us]").view(np.int64)
     if not ascending:
+        if a.dtype.kind in "OUS":  # kind is case-sensitive: 'u' is unsigned
+            raise ValueError(
+                "descending order on string columns is unsupported — "
+                "rank on a numeric/datetime column or use ascending=True"
+            )
         if a.dtype.kind == "f":
             a = -a.astype(np.float64)
         elif a.dtype.kind == "u":
@@ -92,11 +83,7 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
                            tiebreak, with_rank=False)
 
     def add_gkey(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__gkey", pa.array([], type=pa.int64()))
-        h = _group_hash(batch.column(group_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "__gkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
+        return add_hash_pkey(batch, group_col, n_parts, out_col="__gkey")
 
     def final(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:

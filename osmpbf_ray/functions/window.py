@@ -16,8 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from osmpbf_ray.functions.joins import splitmix_u64
-from osmpbf_ray.functions.partitioning import sized_fanout
+from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
 
 def _sort_key(col: pa.ChunkedArray) -> np.ndarray:
@@ -45,11 +44,7 @@ def rolling_sum(ds, key_col: str, order_cols: list[str], value_col: str,
         n_parts = sized_fanout(ds)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__pkey", pa.array([], type=pa.int64()))
-        h = splitmix_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "__pkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
+        return add_hash_pkey(batch, key_col, n_parts)
 
     def roll_part(part: pa.Table) -> pa.Table:
         t = part.drop_columns(["__pkey"])
@@ -94,11 +89,7 @@ def partitioned_lag(ds, key_col: str, order_cols: list[str],
         n_parts = sized_fanout(ds)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch.append_column("__pkey", pa.array([], type=pa.int64()))
-        h = splitmix_u64(batch.column(key_col).to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "__pkey", pa.array((h % np.uint64(n_parts)).view(np.int64)))
+        return add_hash_pkey(batch, key_col, n_parts)
 
     def lag_part(part: pa.Table) -> pa.Table:
         t = part.drop_columns(["__pkey"])

@@ -53,7 +53,11 @@ def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon", final: str = "sh
     the tiny partials on the driver — the reference's par_map_reduce
     final-reduce shape (/root/reference/src/reader.rs:135-141), right
     whenever #distinct tiles is small (any z ≤ ~10), and avoids an
-    all-to-all shuffle whose fixed cost dwarfs the data.
+    all-to-all shuffle whose fixed cost dwarfs the data;
+    ``final="partitioned"`` is the middle path — distributed like
+    "shuffle" but hash-partitioned to 64 groups with one vectorized
+    bincount each, dodging Ray's ~ms-per-distinct-key aggregate cost at
+    large z.
     """
     from ray.data.aggregate import Sum
 
@@ -84,14 +88,14 @@ def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon", final: str = "sh
         agg = rd.from_pandas(acc)
     elif final == "shuffle":
         agg = partials.groupby("tile").aggregate(Sum("partial_count", alias_name="n"))
-    else:  # "partitioned": hash-partition + one vectorized bincount per
-        # group — distributed like "shuffle" but without Ray's per-key
+    elif final == "partitioned":
+        # hash-partition + one vectorized bincount per group —
+        # distributed like "shuffle" but without Ray's per-key
         # aggregate cost (~ms per distinct tile)
+        from osmpbf_ray.functions.partitioning import add_hash_pkey
+
         def add_pkey(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("__pkey", pa.array([], type=pa.int64()))
-            pk = (batch.column("tile").to_numpy() % np.int64(64)).astype(np.int64)
-            return batch.append_column("__pkey", pa.array(pk))
+            return add_hash_pkey(batch, "tile", 64)
 
         def sum_tiles(g: pa.Table) -> pa.Table:
             if g.num_rows == 0:
@@ -106,6 +110,9 @@ def tile_stats(points_ds, z: int, lat_col="lat", lon_col="lon", final: str = "sh
             .groupby("__pkey")
             .map_groups(sum_tiles, batch_format="pyarrow")
         )
+    else:
+        raise ValueError(f"unknown final mode {final!r}: "
+                         "expected 'shuffle', 'driver' or 'partitioned'")
 
     def unpack(batch: pa.Table) -> pa.Table:
         zz, x, y = spatial.unpack_cell(batch.column("tile").to_numpy())

@@ -160,6 +160,54 @@ def test_grouped_quantiles_matches_brute_force():
     assert len(out) == df["g"].nunique() * len(qs)
 
 
+def test_exact_quantiles_zero_pile_regrids_fast():
+    # >max_collect copies of 0.0 + an outlier: the 0-edge never exhausts
+    # (ulp(0) is subnormal), so without the re-grid fast path this took
+    # ~hundreds of full passes; with it, the pile resolves via one
+    # min/max pass per no-progress level
+    v = np.r_[np.zeros(500), np.array([1e300])]
+    ds = rd.from_arrow(pa.table({"x": v}))
+    got = exact_quantiles(ds, "x", [0.5, 1.0], n_bins=8, max_collect=10).to_pandas()
+    assert got["value"].tolist() == [0.0, 1e300]
+
+
+def test_null_partition_keys_raise():
+    import pytest
+
+    from osmpbf_ray.functions import window as w
+
+    t = pa.table({"k": pa.array([1, None, 2], type=pa.int64()),
+                  "o": pa.array([1, 2, 3], type=pa.int64()),
+                  "v": pa.array([1.0, 2.0, 3.0])})
+    with pytest.raises(Exception, match="null"):
+        w.rolling_sum(rd.from_arrow(t), "k", ["o"], "v", window=2).to_pandas()
+
+
+def test_grouped_topk_string_desc_raises():
+    import pytest
+
+    from osmpbf_ray.functions import ranking
+
+    t = pa.table({"g": pa.array([1, 1], type=pa.int64()),
+                  "v": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="descending"):
+        ranking.grouped_topk(rd.from_arrow(t), "g", "v", k=1).to_pandas()
+
+
+def test_tile_stats_partitioned_matches_shuffle():
+    from osmpbf_ray.pipelines import tiles
+    from osmpbf_ray.sources import fixtures
+
+    import pytest
+
+    images = fixtures.make_images(300)
+    a = tiles.tile_stats(rd.from_arrow(images), z=6, final="shuffle").to_pandas()
+    b = tiles.tile_stats(rd.from_arrow(images), z=6, final="partitioned").to_pandas()
+    assert dict(zip(a["tile"], a["n"])) == dict(zip(b["tile"], b["n"]))
+    with pytest.raises(ValueError, match="final"):
+        tiles.tile_stats(rd.from_arrow(images), z=6, final="shufle")
+
+
 def test_exact_quantiles_degenerate():
     # all-equal column: exhausted-range fast path
     ds = rd.from_arrow(pa.table({"x": np.full(500, 3.25)}))
