@@ -46,8 +46,16 @@ def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
 
 def _topk_table(t: pa.Table, group_col: str, order_col: str, k: int,
                 ascending: bool, tiebreak: str | None,
-                with_rank: bool) -> pa.Table:
-    """Vectorized per-slice top-k: one lexsort, one segment arange."""
+                with_rank: bool, mode: str = "row_number") -> pa.Table:
+    """Vectorized per-slice top-k: one lexsort, one segment arange.
+
+    ``mode`` picks the SQL ranking function: ``row_number`` (unique
+    ranks; pass ``tiebreak`` for determinism), ``rank`` (ties share the
+    row_number of their first row; gaps after) or ``dense_rank`` (ties
+    share consecutive ranks; no gaps). With ``rank``/``dense_rank`` the
+    KEPT SET is deterministic even without a tiebreak — ties on the
+    order value are kept or dropped together, exactly like SQL
+    ``QUALIFY rank() ... <= k``."""
     g = t.column(group_col).to_numpy(zero_copy_only=False)
     v = _order_key(t.column(order_col), ascending)
     keys = [v, g]
@@ -55,10 +63,26 @@ def _topk_table(t: pa.Table, group_col: str, order_col: str, k: int,
         keys.insert(0, t.column(tiebreak).to_numpy(zero_copy_only=False))
     order = np.lexsort(keys)  # primary = g, then v, then tiebreak
     gs = g[order]
+    n = len(gs)
     starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
-    lens = np.diff(np.r_[starts, len(gs)])
-    # rank within group: position - segment start
-    rank = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, lens) + 1
+    lens = np.diff(np.r_[starts, n])
+    # row_number within group: position - segment start
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    if mode == "row_number":
+        rank = pos + 1
+    else:
+        vs = v[order]
+        # start of each tie run (segment starts always begin a run)
+        newval = np.r_[True, (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])]
+        if mode == "rank":
+            run_first = np.maximum.accumulate(
+                np.where(newval, np.arange(n, dtype=np.int64), -1))
+            rank = pos[run_first] + 1
+        elif mode == "dense_rank":
+            c = np.cumsum(newval)
+            rank = c - np.repeat(c[starts], lens) + 1
+        else:
+            raise ValueError(f"unknown rank mode {mode!r}")
     keep = rank <= k
     out = t.take(pa.array(order[keep]))
     if with_rank:
@@ -69,10 +93,14 @@ def _topk_table(t: pa.Table, group_col: str, order_col: str, k: int,
 def grouped_topk(ds, group_col: str, order_col: str, k: int,
                  ascending: bool = False, tiebreak: str | None = None,
                  n_parts: int | None = None, precombine: bool = False,
-                 with_rank: bool = True):
+                 with_rank: bool = True, mode: str = "row_number"):
     """Top-k rows per group, ranked by ``order_col`` (desc by default)
     with deterministic ``tiebreak`` ordering; emits a 1-based ``rank``
-    column matching SQL ``row_number()``'s."""
+    column matching SQL ``row_number()`` / ``rank()`` / ``dense_rank()``
+    per ``mode``. The per-batch combiner stays correct for every mode:
+    a row's LOCAL rank never exceeds its global rank (fewer competitors
+    per batch), so local ``rank <= k`` keeps a superset of the global
+    top-k."""
     if n_parts is None:
         n_parts = sized_fanout(ds)
 
@@ -80,7 +108,7 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
         if batch.num_rows == 0:
             return batch
         return _topk_table(batch, group_col, order_col, k, ascending,
-                           tiebreak, with_rank=False)
+                           tiebreak, with_rank=False, mode=mode)
 
     def add_gkey(batch: pa.Table) -> pa.Table:
         return add_hash_pkey(batch, group_col, n_parts, out_col="__gkey")
@@ -92,7 +120,8 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
                 sch = sch.append(pa.field("rank", pa.int64()))
             return sch.empty_table()
         return _topk_table(part.drop_columns(["__gkey"]), group_col,
-                           order_col, k, ascending, tiebreak, with_rank)
+                           order_col, k, ascending, tiebreak, with_rank,
+                           mode=mode)
 
     if precombine:
         ds = ds.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)

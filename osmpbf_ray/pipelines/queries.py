@@ -1433,6 +1433,31 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+def q_rank_latest_orders(sf_dir: str):
+    """SQL rank() tie semantics: each customer's most-recent order(s) —
+    same-date ties share rank 1 and are ALL kept, so the set is
+    deterministic with no tiebreak (1507 rows vs row_number's 1500 at
+    sf0.01 — the ties are real). grouped_topk mode='rank'."""
+    from osmpbf_ray.functions import ranking
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    top = ranking.grouped_topk(orders, "o_custkey", "o_orderdate", k=1,
+                               mode="rank", precombine=True)
+    return top.select_columns(["o_orderkey", "o_custkey", "rank"])
+
+
+def q_dense_rank_order_dates(sf_dir: str):
+    """SQL dense_rank(): orders on each customer's latest TWO DISTINCT
+    order dates (ties share consecutive ranks, no gaps). grouped_topk
+    mode='dense_rank'."""
+    from osmpbf_ray.functions import ranking
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    top = ranking.grouped_topk(orders, "o_custkey", "o_orderdate", k=2,
+                               mode="dense_rank", precombine=True)
+    return top.select_columns(["o_orderkey", "o_custkey", "rank"])
+
+
 def q_rolling_spend(sf_dir: str):
     """Bounded rolling-window aggregate: 3-row moving sum of
     floor(totalprice) per customer in (orderdate, orderkey) order — one
@@ -1807,6 +1832,8 @@ def queries() -> dict:
         "left_join_lineitems": q_left_join_lineitems,
         "stratified_sample": q_stratified_sample,
         "rolling_spend": q_rolling_spend,
+        "rank_latest_orders": q_rank_latest_orders,
+        "dense_rank_order_dates": q_dense_rank_order_dates,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
@@ -1816,7 +1843,6 @@ def queries() -> dict:
         "salted_group_count": q_salted_group_count,
         "exact_dedup_docs": q_exact_dedup_docs,
         "tile_stats": q_tile_stats,
-        "pip_triangle": q_pip_triangle,
         "knn_embeddings": q_knn_embeddings,
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
@@ -1827,7 +1853,6 @@ def queries() -> dict:
         "pbf_read": q_pbf_read,
         "pbf_way_refs": q_pbf_way_refs,
         "pbf_pruned_read": q_pbf_pruned_read,
-        "way_geometry": q_way_geometry,
         "relation_resolve_typed": q_relation_resolve_typed,
         "phash_dedup": q_phash_dedup,
         "bloom_semi_join": q_bloom_semi_join,
@@ -1848,7 +1873,11 @@ def queries() -> dict:
         # distinct_pairs→salted_group_count+exact_dedup_docs,
         # knn_join_geo→knn_join_geo_kring (exact) + knn_embeddings,
         # delta_decode→pbf_read (same dense-decode kernel end-to-end),
-        # count_all→tally_returnflag (same par_map_reduce driver)) ---
+        # count_all→tally_returnflag (same par_map_reduce driver),
+        # way_geometry→hash_join+relation_resolve_typed (id-FK joins),
+        # pip_triangle→flagship (same IEEE crossing formula oracled)) ---
+        "way_geometry": q_way_geometry,
+        "pip_triangle": q_pip_triangle,
         "count_all": q_count_all,
         "delta_decode": q_delta_decode,
         "knn_join_geo": q_knn_join_geo,
@@ -2524,6 +2553,17 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    sql["rank_latest_orders"] = (
+        "SELECT o_orderkey, o_custkey, CAST(rank() OVER w AS BIGINT) AS rank "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC) QUALIFY rank() OVER w <= 1"
+    )
+    sql["dense_rank_order_dates"] = (
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(dense_rank() OVER w AS BIGINT) AS rank "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC) QUALIFY dense_rank() OVER w <= 2"
     )
     sql["rolling_spend"] = (
         "SELECT o_custkey, o_orderkey, "

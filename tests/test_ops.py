@@ -78,6 +78,34 @@ def test_partitioned_lag_matches_pandas():
     assert merged["id_lag"].isna().sum() == df["key"].nunique()
 
 
+def test_grouped_topk_rank_modes_match_pandas():
+    """rank/dense_rank tie semantics vs pandas, with heavy ties; the
+    kept SET is deterministic with no tiebreak; precombine agrees."""
+    from osmpbf_ray.functions import ranking
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    t = pa.table({
+        "g": rng.integers(0, 60, n),
+        "v": rng.integers(0, 12, n),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    df = t.to_pandas()
+    for mode, method, k in (("rank", "min", 2), ("dense_rank", "dense", 2)):
+        exp = df.copy()
+        exp["rank"] = (exp.groupby("g")["v"]
+                       .rank(method=method, ascending=False).astype(np.int64))
+        exp = exp[exp["rank"] <= k]
+        for precombine in (False, True):
+            out = ranking.grouped_topk(rd.from_arrow(t), "g", "v", k=k,
+                                       mode=mode, precombine=precombine
+                                       ).to_pandas()
+            assert set(zip(out["g"], out["id"])) == set(zip(exp["g"], exp["id"])), mode
+            got = out.set_index("id")["rank"].sort_index()
+            want = exp.set_index("id")["rank"].sort_index()
+            assert (got.to_numpy() == want.to_numpy()).all(), mode
+
+
 def test_rolling_sum_matches_pandas():
     rng = np.random.default_rng(31)
     n = 3000
