@@ -1433,6 +1433,21 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+_PIVOT_FLAGS = ["A", "N", "R"]
+
+
+def q_pivot_returnflag(sf_dir: str):
+    """Pivot (long → wide): per-order quantity sums split by return
+    flag — one column per domain value, per-batch one-row-per-key
+    combiner, keys-only hash exchange (functions/pivot.py:pivot_sum).
+    Quantities are integer-valued so the sums are exact."""
+    from osmpbf_ray.functions.pivot import pivot_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    return pivot_sum(li, "l_orderkey", "l_returnflag", "l_quantity",
+                     _PIVOT_FLAGS, col_names=[f"qty_{f.lower()}" for f in _PIVOT_FLAGS])
+
+
 def q_rank_latest_orders(sf_dir: str):
     """SQL rank() tie semantics: each customer's most-recent order(s) —
     same-date ties share rank 1 and are ALL kept, so the set is
@@ -1834,6 +1849,7 @@ def queries() -> dict:
         "rolling_spend": q_rolling_spend,
         "rank_latest_orders": q_rank_latest_orders,
         "dense_rank_order_dates": q_dense_rank_order_dates,
+        "pivot_returnflag": q_pivot_returnflag,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
@@ -1842,7 +1858,6 @@ def queries() -> dict:
         "pricing_summary": q_pricing_summary,
         "salted_group_count": q_salted_group_count,
         "exact_dedup_docs": q_exact_dedup_docs,
-        "tile_stats": q_tile_stats,
         "knn_embeddings": q_knn_embeddings,
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
@@ -1875,7 +1890,9 @@ def queries() -> dict:
         # delta_decode→pbf_read (same dense-decode kernel end-to-end),
         # count_all→tally_returnflag (same par_map_reduce driver),
         # way_geometry→hash_join+relation_resolve_typed (id-FK joins),
-        # pip_triangle→flagship (same IEEE crossing formula oracled)) ---
+        # pip_triangle→flagship (same IEEE crossing formula oracled),
+        # tile_stats→tile_rollup+flagship (same tiles core, oracled)) ---
+        "tile_stats": q_tile_stats,
         "way_geometry": q_way_geometry,
         "pip_triangle": q_pip_triangle,
         "count_all": q_count_all,
@@ -2553,6 +2570,12 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    flag_cols = ", ".join(
+        f"SUM(CASE WHEN l_returnflag = '{f}' THEN l_quantity ELSE 0 END) "
+        f"AS qty_{f.lower()}" for f in _PIVOT_FLAGS)
+    sql["pivot_returnflag"] = (
+        f"SELECT l_orderkey, {flag_cols} FROM lineitem GROUP BY l_orderkey"
     )
     sql["rank_latest_orders"] = (
         "SELECT o_orderkey, o_custkey, CAST(rank() OVER w AS BIGINT) AS rank "

@@ -78,6 +78,35 @@ def test_partitioned_lag_matches_pandas():
     assert merged["id_lag"].isna().sum() == df["key"].nunique()
 
 
+def test_pivot_sum_matches_pandas():
+    from osmpbf_ray.functions.pivot import pivot_sum
+
+    rng = np.random.default_rng(19)
+    n = 5000
+    t = pa.table({
+        "k": rng.integers(0, 300, n),
+        "p": pa.array(rng.choice(["x", "y", "z", "other"], n)),  # 'other' ∉ domain
+        "v": rng.integers(0, 100, n).astype(np.float64),
+    })
+    out = pivot_sum(rd.from_arrow(t), "k", "p", "v", ["x", "y", "z"]).to_pandas()
+    df = t.to_pandas()
+    df = df[df["p"] != "other"]
+    exp = df.pivot_table(index="k", columns="p", values="v",
+                         aggfunc="sum", fill_value=0.0)
+    keys_with_rows = set(df["k"])
+    assert set(out["k"]) == keys_with_rows
+    got = out.set_index("k").sort_index()
+    for p in ("x", "y", "z"):
+        e = exp[p].reindex(got.index, fill_value=0.0)
+        assert (got[f"v_{p}"].to_numpy() == e.to_numpy()).all(), p
+    # empty domain rejected; mismatched names rejected
+    import pytest
+    with pytest.raises(ValueError):
+        pivot_sum(rd.from_arrow(t), "k", "p", "v", [])
+    with pytest.raises(ValueError):
+        pivot_sum(rd.from_arrow(t), "k", "p", "v", ["x"], col_names=["a", "b"])
+
+
 def test_grouped_topk_rank_modes_match_pandas():
     """rank/dense_rank tie semantics vs pandas, with heavy ties; the
     kept SET is deterministic with no tiebreak; precombine agrees."""
