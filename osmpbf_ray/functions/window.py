@@ -77,6 +77,90 @@ def rolling_sum(ds, key_col: str, order_cols: list[str], value_col: str,
     )
 
 
+def resample_gapfill(ds, key_col: str, ts_col: str, bucket_us: int,
+                     n_parts: int | None = None, out_col: str = "n",
+                     max_expansion: int = 1 << 27):
+    """Per-key time resample WITH gap filling: Dataset(key, bucket, n)
+    counting rows per ``bucket_us``-wide time bucket, EMITTING ZERO ROWS
+    for every missing bucket between each key's first and last event —
+    the resample/densify op of feature pipelines (models want regular
+    series, not sparse ones).
+
+    Shape: per-batch (key, bucket) count partials (one row per distinct
+    cell per batch), hash-partitioned by key, then one vectorized
+    segmented-arange expansion per partition — no per-key Python, no
+    generate_series join. Gap-filling EXPANDS data: each partition
+    raises if it would emit more than ``max_expansion`` rows (a key
+    spanning years at millisecond buckets is almost always a bug, and
+    an explicit error beats an OOM; widen the bucket or raise the cap).
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], batch.schema.field(key_col).type),
+                             "bucket": pa.array([], pa.int64()),
+                             "pn": pa.array([], pa.int64())})
+        ts = _sort_key(batch.column(ts_col))
+        b = np.floor_divide(ts, bucket_us)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, k))
+        ks, bs = k[order], b[order]
+        first = np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(ks)])
+        return pa.table({key_col: pa.array(ks[starts]),
+                         "bucket": pa.array(bs[starts]),
+                         "pn": pa.array(counts.astype(np.int64))})
+
+    def expand(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["__pkey"])
+        if t.num_rows == 0:
+            return pa.table({key_col: t.column(key_col),
+                             "bucket": pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        pn = t.column("pn").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, k))
+        ks, bs, pns = k[order], b[order], pn[order]
+        seg = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[seg[1:], len(ks)]
+        bmin, bmax = bs[seg], bs[ends - 1]
+        lens = bmax - bmin + 1  # full bucket range per key
+        total = int(lens.sum())
+        if total > max_expansion:
+            raise ValueError(
+                f"gap-fill would emit {total} rows in one partition "
+                f"(> max_expansion={max_expansion}); widen bucket_us or "
+                "raise the cap")
+        offs = np.r_[0, np.cumsum(lens)[:-1]]
+        # segmented arange: full bucket sequence for every key
+        row_seg = np.repeat(np.arange(len(seg)), lens)
+        full_b = (np.arange(total, dtype=np.int64) - offs[row_seg]
+                  + bmin[row_seg])
+        full_k = ks[seg][row_seg]
+        n = np.zeros(total, dtype=np.int64)
+        # merge duplicate (key,bucket) partials into the dense grid
+        src_seg = np.repeat(np.arange(len(seg)), ends - seg)
+        idx = offs[src_seg] + (bs - bmin[src_seg])
+        np.add.at(n, idx, pns)
+        return pa.table({key_col: pa.array(full_k),
+                         "bucket": pa.array(full_b),
+                         out_col: pa.array(n)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda bt: add_hash_pkey(bt, key_col, n_parts),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+
+
 def partitioned_lag(ds, key_col: str, order_cols: list[str],
                     lag_cols: list[str], n_parts: int | None = None,
                     suffix: str = "_lag"):

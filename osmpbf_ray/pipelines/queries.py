@@ -1433,6 +1433,19 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+def q_resample_user_hours(sf_dir: str):
+    """Time resample WITH gap filling: hourly event counts per user,
+    zero rows emitted for silent hours between each user's first and
+    last event — the densify op models need before windowing
+    (functions/window.py:resample_gapfill; segmented-arange expansion,
+    per-partition row cap instead of an OOM)."""
+    from osmpbf_ray.functions import window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return window.resample_gapfill(ev, "user_id", "ts",
+                                   bucket_us=3_600_000_000)
+
+
 _PIVOT_FLAGS = ["A", "N", "R"]
 
 
@@ -1850,6 +1863,7 @@ def queries() -> dict:
         "rank_latest_orders": q_rank_latest_orders,
         "dense_rank_order_dates": q_dense_rank_order_dates,
         "pivot_returnflag": q_pivot_returnflag,
+        "resample_user_hours": q_resample_user_hours,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
@@ -1861,7 +1875,6 @@ def queries() -> dict:
         "knn_embeddings": q_knn_embeddings,
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
-        "sessionize": q_sessionize,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
         "shipping_priority": q_shipping_priority,
@@ -1891,7 +1904,9 @@ def queries() -> dict:
         # count_all→tally_returnflag (same par_map_reduce driver),
         # way_geometry→hash_join+relation_resolve_typed (id-FK joins),
         # pip_triangle→flagship (same IEEE crossing formula oracled),
-        # tile_stats→tile_rollup+flagship (same tiles core, oracled)) ---
+        # tile_stats→tile_rollup+flagship (same tiles core, oracled),
+        # sessionize→asof/range/event_lag/rolling (windows row stays green)) ---
+        "sessionize": q_sessionize,
         "tile_stats": q_tile_stats,
         "way_geometry": q_way_geometry,
         "pip_triangle": q_pip_triangle,
@@ -2570,6 +2585,18 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    sql["resample_user_hours"] = (
+        "WITH agg AS (SELECT user_id, "
+        "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 "
+        "FROM agg GROUP BY 1), "
+        "filled AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket "
+        "FROM rng) "
+        "SELECT f.user_id, f.bucket, coalesce(a.n, CAST(0 AS BIGINT)) AS n "
+        "FROM filled f LEFT JOIN agg a "
+        "ON a.user_id = f.user_id AND a.bucket = f.bucket"
     )
     flag_cols = ", ".join(
         f"SUM(CASE WHEN l_returnflag = '{f}' THEN l_quantity ELSE 0 END) "

@@ -228,6 +228,36 @@ def test_exact_quantiles_zero_pile_regrids_fast():
     assert got["value"].tolist() == [0.0, 1e300]
 
 
+def test_resample_gapfill_matches_brute_force():
+    from osmpbf_ray.functions.window import resample_gapfill
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    t = pa.table({
+        "k": rng.integers(0, 40, n),
+        "ts": rng.integers(0, 10**6, n) * np.int64(1000),  # sparse µs
+    })
+    out = resample_gapfill(rd.from_arrow(t), "k", "ts",
+                           bucket_us=50_000_000).to_pandas()
+    df = t.to_pandas()
+    df["b"] = df["ts"] // 50_000_000
+    for k, grp in df.groupby("k"):
+        got = out[out.k == k].set_index("bucket")["n"].sort_index()
+        present = grp.groupby("b").size()
+        full = np.arange(present.index.min(), present.index.max() + 1)
+        assert (got.index.to_numpy() == full).all(), k  # dense, no gaps
+        exp = present.reindex(full, fill_value=0)
+        assert (got.to_numpy() == exp.to_numpy()).all(), k
+    assert out["n"].sum() == n
+    # expansion cap fires instead of OOM
+    import pytest
+    wide = pa.table({"k": np.zeros(2, dtype=np.int64),
+                     "ts": np.array([0, 10**15], dtype=np.int64)})
+    with pytest.raises(Exception, match="max_expansion"):
+        resample_gapfill(rd.from_arrow(wide), "k", "ts", bucket_us=1000,
+                         max_expansion=10**6).to_pandas()
+
+
 def test_null_partition_keys_raise():
     import pytest
 
