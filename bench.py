@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "grouped_quantiles_events",
     "rolling_spend",
     "stratified_sample",
+    "pivot_returnflag",
+    "resample_user_hours",
 ]
 
 
