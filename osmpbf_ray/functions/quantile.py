@@ -247,13 +247,23 @@ def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
 
 
 def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096,
-                    max_collect: int = 1 << 20) -> pa.Table:
+                    max_collect: int = 1 << 20,
+                    materialize: bool = True) -> pa.Table:
     """Exact quantiles of ``ds[col]`` → ``pa.Table(q, value)``.
 
     ``value`` is the element at zero-based rank ``floor(q·(n-1))`` in
     sorted order — bit-equal to SQL ``ORDER BY col LIMIT 1 OFFSET k``.
+
+    ``materialize=True`` (default) pins the projected column in the
+    object store so the 3+ passes share one scan — right whenever the
+    column fits cluster memory + spill. At extreme scale pass
+    ``materialize=False`` to re-scan the source per pass instead
+    (column-pruned parquet re-reads are often cheaper than spilling a
+    one-column copy of the corpus).
     """
-    ds = ds.select_columns([col]).materialize()  # 3+ passes share one scan
+    ds = ds.select_columns([col])
+    if materialize:
+        ds = ds.materialize()
     n, lo, hi = _minmax_count(ds, col)
     if n == 0:
         return pa.table({"q": pa.array([], pa.float64()),
