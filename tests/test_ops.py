@@ -189,6 +189,16 @@ def test_exact_quantiles_matches_numpy_sorted():
     assert got["value"].tolist() == expect
 
 
+def test_exact_quantiles_unmaterialized_matches():
+    rng = np.random.default_rng(47)
+    v = rng.normal(size=2000)
+    ds = rd.from_arrow(pa.table({"x": v}))
+    a = exact_quantiles(ds, "x", [0.25, 0.75], n_bins=32).to_pandas()
+    b = exact_quantiles(ds, "x", [0.25, 0.75], n_bins=32,
+                        materialize=False).to_pandas()
+    assert a["value"].tolist() == b["value"].tolist()
+
+
 def test_exact_quantiles_refinement_path():
     # max_collect=1 forces recursive bin refinement on nearly every rank
     rng = np.random.default_rng(2)
