@@ -1433,6 +1433,100 @@ def q_quantiles_price(sf_dir: str):
     return exact_quantiles(orders, "o_totalprice", _QUANTILE_QS, n_bins=512)
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped multi-join composite: revenue per nation from
+    orders where the customer and supplier share an ASIA nation.
+    Star-schema shape at scale — dimension tables (region, nation,
+    supplier) broadcast map-side; the FACT joins (lineitem⋈orders on
+    orderkey, ⋈customer on custkey) run as partitioned hash joins with
+    EXPLICIT schemas threaded through (a lazy join's .schema() would
+    re-execute its first exchange); the c_nationkey = s_nationkey
+    filter and the per-nation partial aggregation happen map-side
+    before one tiny final groupby. Money is exact integer micro-cents
+    (cents × (10000 − discount_bp)), summed with an int64 accumulator."""
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=rkeys.combine_chunks()))
+    ids_sorted = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    order_ids = np.argsort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    names_sorted = np.asarray(nat["n_name"].to_pylist(), dtype=object)[order_ids]
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(
+        sup["s_nationkey"].cast(pa.int64()),
+        value_set=pa.array(ids_sorted, type=pa.int64())))
+    sup = pa.table({"l_suppkey": sup["s_suppkey"].cast(pa.int64()),
+                    "s_nationkey": sup["s_nationkey"].cast(pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "cents": np.round(
+                batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64),
+            "bp": np.round(
+                batch.column("l_discount").to_numpy() * 10000).astype(np.int64),
+        })
+
+    li2 = joins.broadcast_lookup_join(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        sup, key="l_suppkey", how="inner")
+    li2_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("cents", pa.int64()), ("bp", pa.int64()),
+        ("s_nationkey", pa.int64())])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])
+    j1 = joins.partitioned_hash_join(li2, orders, key="o_orderkey",
+                                     left_schema=li2_schema,
+                                     right_schema=orders_schema)
+    j1_schema = pa.schema(list(li2_schema) + [pa.field("o_custkey", pa.int64())])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                            "c_nationkey": b.column("c_nationkey").cast(pa.int64())}),
+        batch_format="pyarrow")
+    cust_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("c_nationkey", pa.int64())])
+    j2 = joins.partitioned_hash_join(j1, cust, key="o_custkey",
+                                     left_schema=j1_schema,
+                                     right_schema=cust_schema)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"n_name": pa.array([], pa.string()),
+                          "p_rev": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        m = sn == cn
+        if not m.any():
+            return empty
+        sn = sn[m].astype(np.int64)
+        rev = (batch.column("cents").to_numpy()[m]
+               * (10000 - batch.column("bp").to_numpy()[m]))
+        u, inv = np.unique(sn, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, rev)  # exact int64, no float accumulator
+        names = names_sorted[np.searchsorted(ids_sorted, u)]
+        return pa.table({"n_name": pa.array(list(names), pa.string()),
+                         "p_rev": pa.array(s)})
+
+    return (
+        j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("p_rev", alias_name="revenue_mc"))
+    )
+
+
 def q_resample_user_hours(sf_dir: str):
     """Time resample WITH gap filling: hourly event counts per user,
     zero rows emitted for silent hours between each user's first and
@@ -1864,6 +1958,7 @@ def queries() -> dict:
         "dense_rank_order_dates": q_dense_rank_order_dates,
         "pivot_returnflag": q_pivot_returnflag,
         "resample_user_hours": q_resample_user_hours,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
@@ -1885,7 +1980,6 @@ def queries() -> dict:
         "phash_dedup": q_phash_dedup,
         "bloom_semi_join": q_bloom_semi_join,
         "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -1905,7 +1999,9 @@ def queries() -> dict:
         # way_geometry→hash_join+relation_resolve_typed (id-FK joins),
         # pip_triangle→flagship (same IEEE crossing formula oracled),
         # tile_stats→tile_rollup+flagship (same tiles core, oracled),
-        # sessionize→asof/range/event_lag/rolling (windows row stays green)) ---
+        # sessionize→asof/range/event_lag/rolling (windows row stays green),
+        # quality_score→lang_id+token_count_ws+doc_fingerprint (text row)) ---
+        "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "tile_stats": q_tile_stats,
         "way_geometry": q_way_geometry,
@@ -2585,6 +2681,16 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    sql["local_supplier_revenue"] = (
+        "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)"
+        " AS revenue_mc "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' GROUP BY n_name"
     )
     sql["resample_user_hours"] = (
         "WITH agg AS (SELECT user_id, "
