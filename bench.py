@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pivot_returnflag",
     "resample_user_hours",
+    "local_supplier_revenue",
 ]
 
 
