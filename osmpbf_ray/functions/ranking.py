@@ -132,6 +132,59 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
     )
 
 
+def grouped_ntile(ds, group_col: str, order_col: str, n: int,
+                  tiebreak: str | None = None, ascending: bool = True,
+                  n_parts: int | None = None, out_col: str = "tile"):
+    """SQL ``NTILE(n) OVER (PARTITION BY g ORDER BY v)``: every row gets
+    an equal-frequency bucket 1..n within its group (the first
+    ``len %% n`` buckets take one extra row, SQL's remainder rule) — the
+    quantile-binning op of feature pipelines. Same shape as
+    :func:`grouped_topk`: hash-partition by group, one lexsort + a
+    vectorized remainder-split bucket formula per partition. Pass a
+    unique ``tiebreak`` for a deterministic assignment (ties on
+    ``order_col`` alone make NTILE's split row-order-dependent, in SQL
+    too)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, group_col, n_parts, out_col="__gkey")
+
+    def assign(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["__gkey"])
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = _order_key(t.column(order_col), ascending)
+        keys = [v, g]
+        if tiebreak is not None:
+            keys.insert(0, t.column(tiebreak).to_numpy(zero_copy_only=False))
+        order = np.lexsort(keys)
+        t = t.take(pa.array(order))
+        gs = g[order]
+        m = len(gs)
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        lens = np.diff(np.r_[starts, m])
+        pos = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        L = np.repeat(lens, lens)  # group size per row
+        q, r = L // n, L % n  # base bucket size, #buckets with an extra row
+        big = (q + 1) * r  # rows covered by the oversized buckets
+        in_big = pos < big
+        tile = np.where(in_big, pos // np.maximum(q + 1, 1),
+                        r + (pos - big) // np.maximum(q, 1)) + 1
+        # n > group size: every row its own bucket (SQL: buckets 1..len)
+        tile = np.where(q == 0, pos + 1, tile)
+        return t.append_column(out_col, pa.array(tile.astype(np.int64)))
+
+    return (
+        ds.map_batches(add_gkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gkey")
+        .map_groups(assign, batch_format="pyarrow")
+    )
+
+
 def stratified_sample(ds, group_col: str, k: int, id_col: str,
                       n_parts: int | None = None):
     """Deterministic k-per-group sample (the per-domain-cap op of corpus

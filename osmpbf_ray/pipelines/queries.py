@@ -1540,6 +1540,20 @@ def q_resample_user_hours(sf_dir: str):
                                    bucket_us=3_600_000_000)
 
 
+def q_ntile_price_quartiles(sf_dir: str):
+    """SQL NTILE(4): equal-frequency price quartiles per order priority
+    (string group keys; unique orderkey tiebreak makes the split
+    deterministic) — the quantile-binning op of feature pipelines
+    (functions/ranking.py:grouped_ntile)."""
+    from osmpbf_ray.functions import ranking
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = ranking.grouped_ntile(orders, "o_orderpriority", "o_totalprice",
+                                n=4, tiebreak="o_orderkey")
+    return out.select_columns(["o_orderkey", "tile"])
+
+
 _PIVOT_FLAGS = ["A", "N", "R"]
 
 
@@ -1959,6 +1973,7 @@ def queries() -> dict:
         "pivot_returnflag": q_pivot_returnflag,
         "resample_user_hours": q_resample_user_hours,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "ntile_price_quartiles": q_ntile_price_quartiles,
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
@@ -1980,7 +1995,6 @@ def queries() -> dict:
         "phash_dedup": q_phash_dedup,
         "bloom_semi_join": q_bloom_semi_join,
         "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2000,7 +2014,8 @@ def queries() -> dict:
         # pip_triangle→flagship (same IEEE crossing formula oracled),
         # tile_stats→tile_rollup+flagship (same tiles core, oracled),
         # sessionize→asof/range/event_lag/rolling (windows row stays green),
-        # quality_score→lang_id+token_count_ws+doc_fingerprint (text row)) ---
+        # quality_score+doc_fingerprint→lang_id+token_count_ws (text row)) ---
+        "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
         "tile_stats": q_tile_stats,
@@ -2681,6 +2696,10 @@ def oracle_sql() -> dict:
         # 0.99·100) the exact product lands on an integer the float sits
         # just below, and the two floors diverge by one rank
         "ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)"
+    )
+    sql["ntile_price_quartiles"] = (
+        "SELECT o_orderkey, CAST(ntile(4) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile FROM orders"
     )
     sql["local_supplier_revenue"] = (
         "SELECT n_name, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"

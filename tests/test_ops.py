@@ -78,6 +78,36 @@ def test_partitioned_lag_matches_pandas():
     assert merged["id_lag"].isna().sum() == df["key"].nunique()
 
 
+def test_grouped_ntile_matches_sql_rule():
+    """NTILE remainder rule: first len%n buckets take one extra row;
+    n > group size gives buckets 1..len; string group keys."""
+    from osmpbf_ray.functions.ranking import grouped_ntile
+
+    rng = np.random.default_rng(53)
+    sizes = {"a": 10, "b": 7, "c": 3, "d": 1}
+    gs, vs = [], []
+    for gname, sz in sizes.items():
+        gs += [gname] * sz
+        vs += list(rng.permutation(sz * 3)[:sz])
+    t = pa.table({"g": pa.array(gs), "v": np.array(vs, dtype=np.int64),
+                  "id": np.arange(len(gs), dtype=np.int64)})
+    out = grouped_ntile(rd.from_arrow(t), "g", "v", n=4,
+                        tiebreak="id").to_pandas()
+    df = t.to_pandas()
+    for gname, grp in df.groupby("g"):
+        sub = out[out.g == gname].merge(grp, on=["g", "id"])
+        sub = sub.sort_values(["v_x", "id"])
+        L = len(sub)
+        q, r = L // 4, L % 4
+        expect = []
+        for b in range(1, 5):
+            expect += [b] * ((q + 1) if b <= r else q)
+        if q == 0:
+            expect = list(range(1, L + 1))
+        assert sub["tile"].tolist() == expect[:L], gname
+    assert len(out) == len(df)
+
+
 def test_pivot_sum_matches_pandas():
     from osmpbf_ray.functions.pivot import pivot_sum
 
