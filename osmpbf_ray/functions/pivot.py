@@ -47,11 +47,18 @@ def pivot_sum(ds, key_col: str, pivot_col: str, value_col: str,
                           **{c: pa.array([], pa.float64()) for c in col_names}})
         if batch.num_rows == 0:
             return empty
+        if batch.column(key_col).null_count:
+            raise ValueError(
+                f"null values in pivot key {key_col!r} are unsupported — "
+                "fill or filter the key column first")
         # vectorized domain lookup (C kernel); null → -1 → dropped
         pidx = pc.fill_null(
             pc.index_in(batch.column(pivot_col), value_set=domain_arr), -1
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = pidx >= 0
+        # SQL SUM skips NULL inputs; a NaN weight would poison its
+        # key's sum permanently
+        m = (pidx >= 0) & pc.is_valid(
+            batch.column(value_col)).to_numpy(zero_copy_only=False)
         if not m.any():
             return empty
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)[m]

@@ -24,6 +24,15 @@ from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
 
 def _order_key(col: pa.ChunkedArray, ascending: bool) -> np.ndarray:
+    if getattr(col, "null_count", 0):
+        # NaT views as INT64_MIN (whose negation overflows back to
+        # itself, ranking NULL dates FIRST under DESC where SQL puts
+        # them LAST) and float nulls become NaN tie-run splitters —
+        # reject loudly like null partition keys
+        raise ValueError(
+            "null values in the order column are unsupported — fill or "
+            "filter them first (SQL ranks NULLS LAST; this engine asks "
+            "you to make that explicit)")
     a = col.to_numpy(zero_copy_only=False)
     if a.dtype.kind == "M":
         a = a.astype("datetime64[us]").view(np.int64)
@@ -172,10 +181,11 @@ def grouped_ntile(ds, group_col: str, order_col: str, n: int,
         q, r = L // n, L % n  # base bucket size, #buckets with an extra row
         big = (q + 1) * r  # rows covered by the oversized buckets
         in_big = pos < big
-        tile = np.where(in_big, pos // np.maximum(q + 1, 1),
+        # q == 0 needs no special case: r = L so every pos is in_big and
+        # pos // 1 + 1 = pos + 1 (one row per bucket); the small-branch
+        # divisor q only divides where pos >= big, which implies q >= 1
+        tile = np.where(in_big, pos // (q + 1),
                         r + (pos - big) // np.maximum(q, 1)) + 1
-        # n > group size: every row its own bucket (SQL: buckets 1..len)
-        tile = np.where(q == 0, pos + 1, tile)
         return t.append_column(out_col, pa.array(tile.astype(np.int64)))
 
     return (

@@ -104,6 +104,12 @@ def resample_gapfill(ds, key_col: str, ts_col: str, bucket_us: int,
             return pa.table({key_col: pa.array([], batch.schema.field(key_col).type),
                              "bucket": pa.array([], pa.int64()),
                              "pn": pa.array([], pa.int64())})
+        if batch.column(ts_col).null_count:
+            # NaT views as INT64_MIN → a bucket of -2.5e9 poisons the
+            # key's whole range; reject loudly like null partition keys
+            raise ValueError(
+                f"null values in timestamp column {ts_col!r} are "
+                "unsupported — fill or filter them first")
         ts = _sort_key(batch.column(ts_col))
         b = np.floor_divide(ts, bucket_us)
         k = batch.column(key_col).to_numpy(zero_copy_only=False)

@@ -156,7 +156,10 @@ def test_grouped_topk_rank_modes_match_pandas():
                        .rank(method=method, ascending=False).astype(np.int64))
         exp = exp[exp["rank"] <= k]
         for precombine in (False, True):
-            out = ranking.grouped_topk(rd.from_arrow(t), "g", "v", k=k,
+            # repartition so the precombine path really sees PARTIAL
+            # batches (local rank < global rank interplay)
+            out = ranking.grouped_topk(rd.from_arrow(t).repartition(13),
+                                       "g", "v", k=k,
                                        mode=mode, precombine=precombine
                                        ).to_pandas()
             assert set(zip(out["g"], out["id"])) == set(zip(exp["g"], exp["id"])), mode
@@ -308,6 +311,36 @@ def test_null_partition_keys_raise():
                   "v": pa.array([1.0, 2.0, 3.0])})
     with pytest.raises(Exception, match="null"):
         w.rolling_sum(rd.from_arrow(t), "k", ["o"], "v", window=2).to_pandas()
+
+
+def test_null_order_values_and_timestamps_raise():
+    import pytest
+
+    from osmpbf_ray.functions import ranking
+    from osmpbf_ray.functions.window import resample_gapfill
+
+    t = pa.table({"g": pa.array([1, 1, 2], type=pa.int64()),
+                  "v": pa.array([1.0, None, 2.0]),
+                  "id": pa.array([0, 1, 2], type=pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        ranking.grouped_topk(rd.from_arrow(t), "g", "v", k=1,
+                             tiebreak="id").to_pandas()
+    ev = pa.table({"k": pa.array([1, 1], type=pa.int64()),
+                   "ts": pa.array([1000, None], type=pa.int64())})
+    with pytest.raises(Exception, match="null"):
+        resample_gapfill(rd.from_arrow(ev), "k", "ts",
+                         bucket_us=100).to_pandas()
+
+
+def test_pivot_sum_skips_null_values():
+    from osmpbf_ray.functions.pivot import pivot_sum
+
+    t = pa.table({"k": pa.array([7, 7, 8], type=pa.int64()),
+                  "p": pa.array(["x", "x", "x"]),
+                  "v": pa.array([5.0, None, 2.0])})
+    out = pivot_sum(rd.from_arrow(t), "k", "p", "v", ["x"]).to_pandas()
+    got = out.set_index("k")["v_x"]
+    assert got[7] == 5.0 and got[8] == 2.0  # SQL SUM skips NULL inputs
 
 
 def test_grouped_topk_string_desc_raises():
