@@ -20,6 +20,12 @@ from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
 
 def _sort_key(col: pa.ChunkedArray) -> np.ndarray:
+    if getattr(col, "null_count", 0):
+        # NaT views as INT64_MIN and float nulls become NaN — both
+        # silently misorder windows; reject like null partition keys
+        raise ValueError(
+            "null values in a sort/order column are unsupported — "
+            "fill or filter them first")
     a = col.to_numpy(zero_copy_only=False)
     if a.dtype.kind == "M":
         a = a.astype("datetime64[us]").view(np.int64)
