@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osmpbf_ray.functions.mapreduce import par_map_reduce
 
@@ -217,6 +218,10 @@ def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
 
     def part_quantiles(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__pkey"])
+        if t.column(col).null_count:
+            # match exact_quantiles (which drop_null()s every pass) and
+            # SQL percentile semantics: nulls neither rank nor count
+            t = t.filter(pc.is_valid(t.column(col)))
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         if len(k) == 0:

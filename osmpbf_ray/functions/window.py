@@ -56,6 +56,13 @@ def rolling_sum(ds, key_col: str, order_cols: list[str], value_col: str,
         t = part.drop_columns(["__pkey"])
         if t.num_rows == 0:
             return t.append_column(out_col, pa.nulls(0, pa.float64()))
+        if t.column(value_col).null_count:
+            # one NaN in the partition-wide cumsum would silently poison
+            # every later row's rolling sum (NaN-NaN stays NaN) — reject
+            # loudly like null order/partition keys; fill or filter first
+            raise ValueError(
+                f"null values in value column {value_col!r} are "
+                "unsupported — fill or filter them first")
         keys = [_sort_key(t.column(c)) for c in reversed(order_cols)]
         keys.append(_sort_key(t.column(key_col)))
         order = np.lexsort(keys)

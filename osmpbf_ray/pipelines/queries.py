@@ -1111,14 +1111,10 @@ def q_doc_fingerprint(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode_fp(batch: pa.Table) -> pa.Table:
-        ids, fps = [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            fp = text.rolling_fingerprint(str(t), 8, 16).astype(np.int64)
-            ids.extend([d] * len(fp))
-            fps.extend(fp.tolist())
+        par, fps = text.batch_rolling_fingerprints(batch.column("text"), 8, 16)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[par]
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "fp": pa.array(fps, type=pa.int64())})
+                         "fp": pa.array(fps.astype(np.int64))})
 
     return ds.map_batches(explode_fp, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -2524,7 +2520,7 @@ def oracle_sql() -> dict:
             "len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is',"
             "'that','it','for','was','with'))) AS en, "
             "len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht',"
-            "'ein','mit','auf','für','von'))) AS de, "
+            "'ein','mit','auf','den','von'))) AS de, "
             "len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une',"
             "'dans','pour','que','des'))) AS fr, "
             "len(list_filter(words, x -> x IN ('el','la','los','las','y','es','un',"

@@ -20,10 +20,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Tokenization is intentionally ASCII-only (maximal [a-z]+ runs, matching
+# the oracle SQL), so every stopword here must itself be an ASCII token —
+# accented words like "für" would split ("f","r") and never match.
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"},
-    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für", "von"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "den", "von"},
     "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que", "des"},
     "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "que", "por", "para"},
 }
@@ -69,10 +72,10 @@ def _word_segments(texts) -> tuple[pa.Array, np.ndarray]:
 
 
 def _stopword_counts(flat: pa.Array, parents: np.ndarray, n: int,
-                     stopwords: frozenset) -> np.ndarray:
-    mask = pc.is_in(flat, value_set=pa.array(sorted(stopwords))).to_numpy(
-        zero_copy_only=False
-    )
+                     value_set: pa.Array) -> np.ndarray:
+    # value_set is a PREBUILT pa.Array (hoisted to stage __init__ — one
+    # Arrow array per actor, not one per batch)
+    mask = pc.is_in(flat, value_set=value_set).to_numpy(zero_copy_only=False)
     return np.bincount(parents[mask], minlength=n)
 
 
@@ -87,7 +90,8 @@ class LangIdStage:
     _LANGS = ("fr", "es", "en", "de")
 
     def __init__(self):
-        self.profiles = [frozenset(_LANG_STOPWORDS[lang]) for lang in self._LANGS]
+        self.profiles = [pa.array(sorted(_LANG_STOPWORDS[lang]))
+                         for lang in self._LANGS]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -111,7 +115,7 @@ class QualityStage:
     """
 
     def __init__(self):
-        self.stop = frozenset(_LANG_STOPWORDS["en"])
+        self.stop = pa.array(sorted(_LANG_STOPWORDS["en"]))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -180,16 +184,83 @@ def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> np.nd
     return np.unique(kept) if len(kept) else hashes[:1]
 
 
+def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16
+                               ) -> tuple[np.ndarray, np.ndarray]:
+    """Exploded ``(parent_row_index, fingerprint)`` for every text in the
+    batch — bit-equal to :func:`rolling_fingerprint` per row, but ONE
+    ``sliding_window_view`` over the batch's concatenated UTF-8 buffer
+    (window indices are selected per doc via a segmented arange, so
+    cross-document windows never contribute). Python touches only the
+    rare sub-``window``-byte docs (crc fallback). Within each doc, kept
+    hashes come out unique-ascending, matching ``np.unique``."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not pa.types.is_string(texts.type):
+        texts = texts.cast(pa.string())
+    texts = pc.fill_null(texts, "")
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    off = np.frombuffer(texts.buffers()[1], dtype=np.int32)
+    off = off[texts.offset: texts.offset + n + 1].astype(np.int64)
+    dbuf = texts.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.empty(0, np.uint8))
+    lens = np.diff(off)
+    nwin = np.maximum(lens - window + 1, 0)
+    long_mask = lens >= window
+    parts_p: list[np.ndarray] = []
+    parts_h: list[np.ndarray] = []
+    if long_mask.any():
+        base = np.uint64(257)
+        powers = base ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64
+        strided = np.lib.stride_tricks.sliding_window_view(
+            data, window).astype(np.uint64)
+        all_h = splitmix64((strided * powers).sum(axis=1, dtype=np.uint64))
+        total = int(nwin.sum())
+        par = np.repeat(np.arange(n, dtype=np.int64), nwin)
+        seg_off = np.repeat(np.r_[0, np.cumsum(nwin)[:-1]], nwin)
+        gidx = (np.arange(total, dtype=np.int64) - seg_off
+                + np.repeat(off[:-1], nwin))
+        h = all_h[gidx]
+        keep = h % np.uint64(keep_mod) == 0
+        kp, kh = par[keep], h[keep]
+        if len(kp):
+            order = np.lexsort((kh, kp))
+            kp, kh = kp[order], kh[order]
+            uniq = np.r_[True, (kp[1:] != kp[:-1]) | (kh[1:] != kh[:-1])]
+            kp, kh = kp[uniq], kh[uniq]
+        has_kept = np.zeros(n, dtype=bool)
+        has_kept[kp] = True
+        # docs >= window bytes with zero kept hashes: first window hash
+        fb = np.flatnonzero(long_mask & ~has_kept)
+        if len(fb):
+            parts_p.append(fb.astype(np.int64))
+            parts_h.append(all_h[off[fb]])
+        parts_p.append(kp)
+        parts_h.append(kh)
+    short = np.flatnonzero(~long_mask)
+    if len(short):
+        stexts = texts.take(pa.array(short)).to_pylist()
+        crcs = np.fromiter((zlib.crc32(t.encode()) for t in stexts),
+                           dtype=np.uint64, count=len(short))
+        parts_p.append(short.astype(np.int64))
+        parts_h.append(splitmix64(crcs))
+    par = np.concatenate(parts_p)
+    fps = np.concatenate(parts_h)
+    order = np.lexsort((fps, par))
+    return par[order], fps[order]
+
+
 class FingerprintStage:
     def __init__(self, window: int = 8, keep_mod: int = 16):
         self.window, self.keep_mod = window, keep_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [
-            rolling_fingerprint(str(t), self.window, self.keep_mod)
-            .astype(np.int64).tolist()
-            for t in _text_col(batch).to_pylist()
-        ]
-        return batch.append_column(
-            "fingerprint", pa.array(fps, type=pa.list_(pa.int64()))
-        )
+        par, fps = batch_rolling_fingerprints(
+            _text_col(batch), self.window, self.keep_mod)
+        counts = np.bincount(par, minlength=batch.num_rows)
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(fps.astype(np.int64)))
+        return batch.append_column("fingerprint", col)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 RAW_CODEC = "rawvideo_gray8"
 
@@ -119,9 +120,22 @@ class FrameSampleStage:
         i = batch.schema.get_field_index(self.frames_col)
         out = batch.set_column(i, self.frames_col, payload)
         j = out.schema.get_field_index("n_frames")
-        return out.set_column(
+        out = out.set_column(
             j, "n_frames", pa.array(np.full(len(t), n_kept, dtype=np.int64))
         )
+        # `fps` stays the SOURCE capture rate; time-based math on the
+        # sampled clip (duration, timestamps) must use effective_fps =
+        # fps / every_k — without it n_frames/fps is wrong by k×
+        if "fps" in out.schema.names:
+            eff = pc.divide(pc.cast(out.column("fps"), pa.float64()),
+                            float(self.k))
+            if "effective_fps" in out.schema.names:
+                out = out.set_column(
+                    out.schema.get_field_index("effective_fps"),
+                    "effective_fps", eff)
+            else:
+                out = out.append_column("effective_fps", eff)
+        return out
 
 
 def frame_stats(ds, concurrency=(1, 4), batch_size: int = 32,
