@@ -11,9 +11,12 @@ par_map_reduce (/root/reference/src/reader.rs:119-142).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from osmpbf_ray.functions.blocks import arrow_clean
@@ -146,19 +149,192 @@ class IvfAssignStage:
         return batch.append_column("ivf_list", pa.array(assign))
 
 
-def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
-             id_col="vec_id", vec_col="embedding", sample_size=2048,
-             concurrency=(1, 4), seed=13):
-    """IVF search: assign rows to coarse lists once, search only the
-    ``n_probe`` lists nearest each query. Approximate (recall < 1 when the
-    true neighbor's list isn't probed) — the scale path next to
-    ``brute_force_topk``'s exact baseline. With ``n_probe == n_centroids``
-    every list is probed, each row is scanned exactly once, and the
-    result is bit-equal to ``brute_force_topk`` (same rounded-cosine +
-    id-tie-break ranking) — which is how the SQL oracle checks it."""
+@ray.remote(num_cpus=0)
+class ScanCounter:
+    """Zero-CPU counter actor: the probe stage reports every row it
+    actually scanned, making IO pruning TESTABLE (rows_scanned < table
+    rows whenever ``n_probe < n_centroids`` on the clustered layout)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def add(self, n: int) -> None:
+        self.n += int(n)
+
+    def get(self) -> int:
+        return self.n
+
+
+class ProbedTopK:
+    """Per-batch per-list partial top-k: rows carry an ``ivf_list``
+    column; only lists some query probes contribute FLOPs. Ranks on
+    ROUNDED cosine with id tie-break — the same composite
+    BruteForceTopK uses, so full-probe IVF (n_probe == n_centroids) is
+    bit-equal to brute force and shares its SQL oracle."""
+
+    def __init__(self, probe_ref, k: int, id_col: str, vec_col: str,
+                 counter=None):
+        self.qids, self.q, self.probe_map = ray.get(probe_ref)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        self.counter = counter
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {"query_id": pa.array([], type=pa.int64()),
+             self.id_col: pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        if self.counter is not None:
+            self.counter.add.remote(len(ids))
+        if len(ids) == 0:
+            return self._empty()
+        lists_col = batch.column("ivf_list")
+        if not pa.types.is_integer(lists_col.type):
+            # hive partition values come back as strings from the
+            # clustered-layout read
+            lists_col = pc.cast(lists_col, pa.int64())
+        lists = lists_col.to_numpy()
+        vecs = _unit(vecs_to_numpy(batch.column(self.vec_col)))
+        out_q, out_id, out_sim = [], [], []
+        for li in np.unique(lists):
+            qrows = self.probe_map.get(int(li))
+            if not qrows:
+                continue
+            rows = np.flatnonzero(lists == li)
+            sim = round_half_away(vecs[rows] @ self.q[qrows].T, 9)
+            kk = min(self.k, len(rows))
+            rid = ids[rows]
+            for j, qi in enumerate(qrows):
+                top = np.lexsort((rid, -sim[:, j]))[:kk]
+                out_q.append(np.full(kk, self.qids[qi]))
+                out_id.append(rid[top])
+                out_sim.append(sim[top, j])
+        if not out_q:
+            return self._empty()
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                self.id_col: np.concatenate(out_id),
+                "cosine": np.concatenate(out_sim),
+            }
+        )
+
+
+def _probe_plan(cent: np.ndarray, query_ids, query_vecs, n_probe: int):
+    """(unit queries, probed-list -> query rows map) for a centroid set."""
+    q = _unit(np.asarray(query_vecs, dtype=np.float64))
+    n_probe = min(n_probe, len(cent))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_map: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probes):
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(qi)
+    return q, probe_map
+
+
+def _topk_final(partials, k: int, id_col: str):
+    def final(g: pd.DataFrame):
+        return arrow_clean(
+            g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="stable").head(k)
+        )
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def _train_from_ds(ds, vec_col: str, n_centroids: int, sample_size: int,
+                   seed: int) -> np.ndarray:
     sample_rows = ds.select_columns([vec_col]).take(sample_size)
     sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
-    cent = train_centroids(sample, n_centroids, seed=seed)
+    return train_centroids(sample, n_centroids, seed=seed)
+
+
+def ivf_build(ds, index_dir: str, n_centroids: int = 16,
+              vec_col: str = "embedding", sample_size: int = 2048,
+              concurrency=(1, 4), seed: int = 13) -> np.ndarray:
+    """Build the LIST-CLUSTERED IVF layout: one assign pass over the
+    table, then a hive-partitioned parquet write
+    (``<index_dir>/lists/ivf_list=<i>/...``) plus a centroids sidecar.
+    :func:`ivf_search` then reads ONLY probed partitions — ``n_probe``
+    prunes the SCAN (IO), not just per-batch FLOPs. One shuffle-free
+    write buys every subsequent search a pruned read; at 100 TB this is
+    the difference between touching n_probe/n_centroids of the bytes
+    and streaming all of them."""
+    lists_dir = os.path.join(index_dir, "lists")
+    if os.path.isdir(lists_dir) and os.listdir(lists_dir):
+        # write_parquet APPENDS part files — a dirty dir would
+        # double-count rows on read
+        raise FileExistsError(f"IVF lists dir {lists_dir!r} is not empty")
+    os.makedirs(index_dir, exist_ok=True)
+    cent = _train_from_ds(ds, vec_col, n_centroids, sample_size, seed)
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(
+        IvfAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        max_restarts=0,
+    )
+    assigned.write_parquet(lists_dir, partition_cols=["ivf_list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_search(index_dir: str, query_ids, query_vecs, k: int = 10,
+               n_probe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding", concurrency=(1, 4),
+               scan_counter=None):
+    """Probed search over an :func:`ivf_build` layout. Non-probed
+    partitions are pruned at FILE level (``PathPartitionFilter`` on the
+    hive path) — their parquet bytes are never opened. Pass a
+    :class:`ScanCounter` handle as ``scan_counter`` to measure rows
+    actually scanned."""
+    import ray.data as rd
+    from ray.data.datasource.partitioning import (Partitioning,
+                                                  PathPartitionFilter)
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q, probe_map = _probe_plan(cent, query_ids, query_vecs, n_probe)
+    probed = frozenset(probe_map)
+    ds = rd.read_parquet(
+        os.path.join(index_dir, "lists"),
+        columns=[id_col, vec_col, "ivf_list"],
+        partitioning=Partitioning("hive"),
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["ivf_list"]) in probed, style="hive"),
+    )
+    probe_ref = ray.put((np.asarray(query_ids), q, probe_map))
+    partials = ds.map_batches(
+        ProbedTopK,
+        fn_constructor_kwargs=dict(probe_ref=probe_ref, k=k, id_col=id_col,
+                                   vec_col=vec_col, counter=scan_counter),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        max_restarts=0,
+    )
+    return _topk_final(partials, k, id_col)
+
+
+def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
+             id_col="vec_id", vec_col="embedding", sample_size=2048,
+             concurrency=(1, 4), seed=13, scan_counter=None):
+    """ONE-SHOT IVF search: assign rows to coarse lists in-stream and
+    search only the ``n_probe`` lists nearest each query. Every block
+    still streams through the probe stage (non-probed lists save FLOPs,
+    not IO) — right when the table is searched once and an index write
+    wouldn't amortize. For repeated or IO-pruned search, use
+    :func:`ivf_build` + :func:`ivf_search` (list-clustered layout; the
+    read skips non-probed partitions entirely). Approximate (recall < 1
+    when the true neighbor's list isn't probed); with ``n_probe ==
+    n_centroids`` the result is bit-equal to ``brute_force_topk`` (same
+    rounded-cosine + id-tie-break ranking) — which is how the SQL
+    oracle checks it."""
+    cent = _train_from_ds(ds, vec_col, n_centroids, sample_size, seed)
     cent_ref = ray.put(cent)
 
     assigned = ds.map_batches(
@@ -170,69 +346,15 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
         max_restarts=0,
     )
 
-    q = _unit(np.asarray(query_vecs, dtype=np.float64))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    # invert: list -> query rows probing it
-    probe_map: dict[int, list[int]] = {}
-    for qi, lists in enumerate(probes):
-        for li in lists:
-            probe_map.setdefault(int(li), []).append(qi)
+    q, probe_map = _probe_plan(cent, query_ids, query_vecs, n_probe)
     probe_ref = ray.put((np.asarray(query_ids), q, probe_map))
-
-    class ProbedTopK:
-        def __init__(self):
-            self.qids, self.q, self.probe_map = ray.get(probe_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy()
-            if len(ids) == 0:
-                return pa.table(
-                    {"query_id": pa.array([], type=pa.int64()),
-                     id_col: pa.array([], type=pa.int64()),
-                     "cosine": pa.array([], type=pa.float64())}
-                )
-            lists = batch.column("ivf_list").to_numpy()
-            vecs = _unit(vecs_to_numpy(batch.column(vec_col)))
-            out_q, out_id, out_sim = [], [], []
-            for li in np.unique(lists):
-                qrows = self.probe_map.get(int(li))
-                if not qrows:
-                    continue
-                rows = np.flatnonzero(lists == li)
-                # rank on ROUNDED cosine with id tie-break — the same
-                # composite BruteForceTopK uses, so full-probe IVF
-                # (n_probe == n_centroids) is bit-equal to brute force
-                # and shares its SQL oracle
-                sim = round_half_away(vecs[rows] @ self.q[qrows].T, 9)
-                kk = min(k, len(rows))
-                rid = ids[rows]
-                for j, qi in enumerate(qrows):
-                    top = np.lexsort((rid, -sim[:, j]))[:kk]
-                    out_q.append(np.full(kk, self.qids[qi]))
-                    out_id.append(rid[top])
-                    out_sim.append(sim[top, j])
-            if not out_q:
-                return pa.table(
-                    {"query_id": pa.array([], type=pa.int64()),
-                     id_col: pa.array([], type=pa.int64()),
-                     "cosine": pa.array([], type=pa.float64())}
-                )
-            return pa.table(
-                {
-                    "query_id": np.concatenate(out_q),
-                    id_col: np.concatenate(out_id),
-                    "cosine": np.concatenate(out_sim),
-                }
-            )
-
     partials = assigned.map_batches(
-        ProbedTopK, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency, max_restarts=0,
+        ProbedTopK,
+        fn_constructor_kwargs=dict(probe_ref=probe_ref, k=k, id_col=id_col,
+                                   vec_col=vec_col, counter=scan_counter),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        max_restarts=0,
     )
-
-    def final(g: pd.DataFrame):
-        return arrow_clean(
-            g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
-        )
-
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return _topk_final(partials, k, id_col)

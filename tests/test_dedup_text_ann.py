@@ -297,3 +297,54 @@ def test_embedding_near_dup_distributed_head_identical():
     assert len(a) > 0
     assert sorted(zip(a["id_a"], a["id_b"], a["cosine"])) == \
         sorted(zip(b["id_a"], b["id_b"], b["cosine"]))
+
+
+def test_ivf_clustered_layout_prunes_scan(tmp_path):
+    """The list-clustered layout must make n_probe prune the SCAN:
+    (a) full probe over the written partitions is bit-equal to brute
+    force; (b) with n_probe < n_centroids the probe stage sees FEWER
+    rows than the table holds (counted by a ScanCounter actor — the
+    non-probed hive partitions are filtered out at file level and never
+    read)."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 600
+    vecs = rng.standard_normal((n, 12))
+    tbl = pa.table(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [v.tolist() for v in vecs]}
+    )
+    qv = rng.standard_normal((3, 12))
+    index_dir = str(tmp_path / "ivf")
+    ann.ivf_build(rd.from_arrow(tbl), index_dir, n_centroids=8,
+                  sample_size=n, concurrency=2)
+    # every list got its own hive partition directory
+    import os
+    parts = sorted(os.listdir(os.path.join(index_dir, "lists")))
+    assert all(p.startswith("ivf_list=") for p in parts) and len(parts) >= 2
+
+    # (a) full probe == brute force, bit-equal
+    full = ann.ivf_search(index_dir, np.arange(3), qv, k=5, n_probe=8,
+                          concurrency=2).to_pandas()
+    bf = ann.brute_force_topk(rd.from_arrow(tbl), np.arange(3), qv, k=5,
+                              concurrency=2).to_pandas()
+    key = lambda df: sorted(zip(df["query_id"], df["vec_id"], df["cosine"]))
+    assert key(full) == key(bf)
+
+    # (b) pruned probe scans strictly fewer rows than the table
+    counter = ann.ScanCounter.remote()
+    pruned = ann.ivf_search(index_dir, np.arange(3), qv, k=5, n_probe=2,
+                            concurrency=2, scan_counter=counter).to_pandas()
+    assert len(pruned) > 0
+    scanned = ray.get(counter.get.remote())
+    assert 0 < scanned < n, f"expected a pruned scan, saw {scanned}/{n} rows"
+
+    # a second build into the same dir must refuse (append would
+    # double-count on read)
+    try:
+        ann.ivf_build(rd.from_arrow(tbl), index_dir, n_centroids=8,
+                      sample_size=n, concurrency=2)
+        raise AssertionError("expected FileExistsError on dirty lists dir")
+    except FileExistsError:
+        pass
