@@ -24,6 +24,7 @@ import pyarrow as pa
 from osmpbf_ray.pipelines import tiles as tiles_mod
 from osmpbf_ray.pipelines.spatial_join import spatial_join
 from osmpbf_ray.stages.image import ImageDecoder
+from osmpbf_ray.state.workercache import cached
 
 
 def run_flagship(
@@ -95,9 +96,22 @@ def write_flagship_resumable(
     def process(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
-        index = PolygonIndex(ray.get(polys_ref), z_join)
-        mf = Manifest(out_dir)
-        decoder = ImageDecoder()
+        # once PER WORKER PROCESS, not per fragment: tasks are elastic
+        # (batch_size=1 keeps per-fragment resumability/parallelism), so
+        # the polygon index / decoder / manifest ride the same
+        # single-slot worker cache the task-based spatial join uses.
+        # built_here makes the amortization OBSERVABLE: the summary row
+        # records whether this call paid the build, so the driver can
+        # assert #builds ≤ #workers < #fragments.
+        built_here: list[int] = []
+
+        def build():
+            built_here.append(1)
+            return (PolygonIndex(ray.get(polys_ref), z_join), ImageDecoder(),
+                    Manifest(out_dir))
+
+        index, decoder, mf = cached(
+            ("flagship_write", out_dir, z_join, polys_ref), build)
         out_rows = []
         for path in batch.column("path").to_pylist():
             pid = os.path.splitext(os.path.basename(path))[0]
@@ -116,17 +130,23 @@ def write_flagship_resumable(
                 lineage={"input": path},
                 metrics={"input_rows": tbl.num_rows, "joined_rows": joined.num_rows},
             )
-            out_rows.append({"partition_id": pid, "rows": joined.num_rows})
+            out_rows.append({"partition_id": pid, "rows": joined.num_rows,
+                             "index_built": bool(built_here)})
+            built_here.clear()
         return pa.Table.from_pylist(
             out_rows,
-            schema=pa.schema([("partition_id", pa.string()), ("rows", pa.int64())]),
+            schema=pa.schema([("partition_id", pa.string()), ("rows", pa.int64()),
+                              ("index_built", pa.bool_())]),
         )
 
     written = 0
+    index_builds = 0
     if todo:
         paths_ds = rd.from_arrow(pa.table({"path": todo}))
         res = paths_ds.map_batches(
             process, batch_format="pyarrow", batch_size=1
         ).to_pandas()
         written = len(res)
-    return {"written": written, "skipped": len(done), "out_dir": out_dir}
+        index_builds = int(res["index_built"].sum())
+    return {"written": written, "skipped": len(done), "out_dir": out_dir,
+            "index_builds": index_builds}

@@ -1504,7 +1504,33 @@ def q_local_supplier_revenue(sf_dir: str):
         ("cents", pa.int64()), ("bp", pa.int64()),
         ("s_nationkey", pa.int64())])
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # ASIA-customer Bloom, built DISTRIBUTED (per-block partials
+    # OR-merged — no driver keyset) and broadcast once: orders whose
+    # customer cannot be in an ASIA nation are dropped map-side BEFORE
+    # either fact exchange, so both the orderkey and custkey shuffles
+    # move ~|ASIA|/|nations| of the orders rows. Approximate is fine
+    # (no false negatives; false positives are re-checked by the inner
+    # customer join + the nation-equality filter downstream).
+    import ray
+
+    from osmpbf_ray.stages import sketch
+
+    nat_ids = pa.array(ids_sorted, type=pa.int64())
+    cust_asia = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
+                                    value_set=nat_ids)),
+        batch_format="pyarrow")
+    bits_ref = ray.put(sketch.bloom_from_ds(cust_asia, "c_custkey"))
+
+    def bloom_filt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        vals = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(
+            sketch.bloom_contains(ray.get(bits_ref), vals)))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        bloom_filt, batch_format="pyarrow", zero_copy_batch=True)
     orders_schema = pa.schema([("o_orderkey", pa.int64()),
                                ("o_custkey", pa.int64())])
     j1 = joins.partitioned_hash_join(li2, orders, key="o_orderkey",
@@ -1512,10 +1538,16 @@ def q_local_supplier_revenue(sf_dir: str):
                                      right_schema=orders_schema)
     j1_schema = pa.schema(list(li2_schema) + [pa.field("o_custkey", pa.int64())])
 
+    # the customer exchange side likewise carries only ASIA customers —
+    # non-ASIA rows can never satisfy c_nationkey = s_nationkey
+    def cust_prep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
+                              value_set=nat_ids))
+        return pa.table({"o_custkey": f.column("c_custkey"),
+                         "c_nationkey": f.column("c_nationkey").cast(pa.int64())})
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda b: pa.table({"o_custkey": b.column("c_custkey"),
-                            "c_nationkey": b.column("c_nationkey").cast(pa.int64())}),
-        batch_format="pyarrow")
+        cust_prep, batch_format="pyarrow")
     cust_schema = pa.schema([("o_custkey", pa.int64()),
                              ("c_nationkey", pa.int64())])
     j2 = joins.partitioned_hash_join(j1, cust, key="o_custkey",

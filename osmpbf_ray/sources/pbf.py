@@ -64,7 +64,7 @@ def scan_blobs(path: str) -> list[dict]:
             header = f.read(hsize)
             if len(header) < hsize:
                 raise ValueError("truncated BlobHeader")
-            btype, datasize = _parse_blob_header(header)
+            btype, datasize, indexdata = _parse_blob_header(header)
             offset = f.tell()
             # seeking past EOF succeeds silently, so a truncated final
             # payload must be caught against the real file size here
@@ -73,20 +73,26 @@ def scan_blobs(path: str) -> list[dict]:
                     f"truncated blob payload at offset {offset}: "
                     f"needs {datasize} bytes, file has {file_size - offset}"
                 )
-            out.append({"path": path, "offset": offset, "datasize": datasize, "type": btype})
+            out.append({"path": path, "offset": offset, "datasize": datasize,
+                        "type": btype, "indexdata": indexdata})
             f.seek(datasize, 1)
 
 
-def _parse_blob_header(buf) -> tuple[str, int]:
-    btype, datasize = "", None
+def _parse_blob_header(buf) -> tuple[str, int, "bytes | None"]:
+    # indexdata (fileformat.proto:65, field 2) is an opaque app-defined
+    # payload the reference's BlobHeader carries; pass it through
+    # verbatim (None when absent) rather than dropping it
+    btype, datasize, indexdata = "", None, None
     for field, wire, val in w.iter_fields(buf):
         if field == 1 and wire == w.WIRE_LEN:
             btype = bytes(val).decode("utf-8")
+        elif field == 2 and wire == w.WIRE_LEN:
+            indexdata = bytes(val)
         elif field == 3 and wire == w.WIRE_VARINT:
             datasize = val
     if datasize is None:
         raise ValueError("BlobHeader missing required datasize")
-    return btype, datasize
+    return btype, datasize, indexdata
 
 
 def decode_blob(buf, copy: bool = True):
@@ -516,7 +522,12 @@ def _data_descriptors(path) -> list[dict]:
     paths = [path] if isinstance(path, (str, bytes)) else list(path)
     out = []
     for p in paths:
-        out.extend(d for d in scan_blobs(p) if d["type"] == "OSMData")
+        # indexdata is dropped from the DECODE descriptor stream: an
+        # all-absent column would infer Arrow `null` type per block and
+        # diverge from blocks that carry bytes (read_pbf_raw keeps it,
+        # explicitly typed)
+        out.extend({k: d[k] for k in ("path", "offset", "datasize", "type")}
+                   for d in scan_blobs(p) if d["type"] == "OSMData")
     return out
     # unknown blob types skipped here = src/blob.rs:27-29 semantics
 
@@ -619,11 +630,15 @@ def read_pbf_raw(path: str, decompress: bool = True,
                 with open(p, "rb") as f:
                     f.seek(off)
                     data.append(f.read(sz))
+        # indexdata passthrough (fileformat.proto:63-67 parity): cast
+        # pins binary even when a block's values are all absent (which
+        # from_items would otherwise infer as `null` type)
         return pa.table(
             {
                 "offset": batch.column("offset"),
                 "type": batch.column("type"),
                 "datasize": batch.column("datasize"),
+                "indexdata": batch.column("indexdata").cast(pa.binary()),
                 "data": pa.array(data, type=pa.binary()),
             }
         )
@@ -659,14 +674,19 @@ def read_pbf_relations(path, **kwargs):
 # --- writer (engine-new sink; the reference never writes, SURVEY §2.1) --------
 
 
-def _blob_frame(btype: str, payload: bytes, compress: str) -> bytes:
+def _blob_frame(btype: str, payload: bytes, compress: str,
+                indexdata: bytes | None = None) -> bytes:
     if compress == "zlib":
         blob = w.field_varint(2, len(payload)) + w.field_len(3, zlib.compress(payload))
     elif compress == "raw":
         blob = w.field_len(1, payload) + w.field_varint(2, len(payload))
     else:
         raise ValueError(f"unsupported compression {compress!r}")
-    header = w.field_len(1, btype.encode()) + w.field_varint(3, len(blob))
+    header = w.field_len(1, btype.encode())
+    if indexdata is not None:
+        # optional opaque BlobHeader.indexdata (fileformat.proto:65)
+        header += w.field_len(2, indexdata)
+    header += w.field_varint(3, len(blob))
     return struct.pack(">I", len(header)) + header + blob
 
 
@@ -1033,13 +1053,15 @@ def mmap_blob_reader(path: str):
             (hsize,) = struct.unpack(">I", view[pos : pos + 4])
             if hsize > MAX_HEADER_SIZE:
                 raise ValueError(f"blob header exceeds {MAX_HEADER_SIZE} bytes")
-            btype, datasize = _parse_blob_header(view[pos + 4 : pos + 4 + hsize])
+            btype, datasize, indexdata = _parse_blob_header(
+                view[pos + 4 : pos + 4 + hsize])
             off = pos + 4 + hsize
             # raw payloads stay memoryview slices of the mapping —
             # consume within the loop (the mapping is unmapped after it)
             payload = decode_blob(view[off : off + datasize], copy=False)
             yield (
-                {"path": path, "offset": off, "datasize": datasize, "type": btype},
+                {"path": path, "offset": off, "datasize": datasize,
+                 "type": btype, "indexdata": indexdata},
                 payload,
             )
             del payload

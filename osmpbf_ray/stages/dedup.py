@@ -425,9 +425,19 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
         return pa.table({id_col: batch.column(id_col),
                          "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary())})
 
+    # the signature stream stays LAZY: its size gate is ARITHMETIC
+    # (≤ 2 candidate ids per pair, n_perm u64 words + id + offsets per
+    # row) — no materialize-to-measure, no object-store pin. Small
+    # payloads broadcast (to_arrow_refs executes the ≤64 MiB plan once);
+    # large payloads flow through _pair_payload_join's single-join
+    # shape, which consumes the payload exactly once.
     sig_ds = cand_docs.map_batches(
         sig_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # joined twice (id_a, id_b)
+    )
+    n_pairs = pairs.count()
+    sig_bound = 2 * n_pairs * (n_perm * 8 + 16)
+    sig_schema = pa.schema([pa.field(id_col, pa.int64()),
+                            pa.field("sig", pa.binary())])
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -442,15 +452,18 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
         )
         return out.filter(pa.array(est >= threshold))
 
-    return _pair_payload_join(pairs, sig_ds, id_col, "sig").map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _pair_payload_join(
+        pairs, sig_ds, id_col, "sig", payload_bytes=sig_bound,
+        payload_schema=sig_schema,
+    ).map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _BROADCAST_PAYLOAD_BYTES = 64 << 20  # 64 MiB: comfortably object-store-shippable
 
 
-def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
+def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str,
+                       payload_bytes: int | None = None,
+                       payload_schema: pa.Schema | None = None):
     """Attach a per-id payload column onto a pair table as
     ``<payload>_a`` / ``<payload>_b``.
 
@@ -473,13 +486,17 @@ def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
     from osmpbf_ray.functions.joins import partitioned_hash_join
     from osmpbf_ray.state.workercache import cached
 
-    try:
-        payload_bytes = payload_ds.size_bytes()
-    except Exception:
-        payload_bytes = None
+    if payload_bytes is None:
+        # callers with a LAZY payload must pass an arithmetic bound —
+        # size_bytes() on a lazy plan EXECUTES it
+        try:
+            payload_bytes = payload_ds.size_bytes()
+        except Exception:
+            payload_bytes = None
     if payload_bytes is not None and payload_bytes <= _BROADCAST_PAYLOAD_BYTES:
         refs = payload_ds.to_arrow_refs()
-        pschema = payload_ds.schema().base_schema
+        pschema = (payload_schema if payload_schema is not None
+                   else payload_ds.schema().base_schema)
         pt = pschema.field(1).type
 
         def build_lookup():
@@ -513,8 +530,20 @@ def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
             attach, batch_format="pyarrow", zero_copy_batch=True
         )
 
+    # LARGE payload: the payload pipeline is consumed EXACTLY ONCE and
+    # can stay fully lazy — no object-store pin of the signature/vector
+    # table (and no double execution of the candidate semi-join feeding
+    # it). Shape: explode each pair into two (id_a, id_b, side, id)
+    # rows, ONE distributed hash join attaches the payload by id, then
+    # one hash partition on the pair key reassembles the two sides into
+    # <payload>_a / <payload>_b columns. Exchange volume matches the
+    # old two-join shape (the second join also moved pair rows with one
+    # payload already attached); executions of the payload side drop
+    # from 2 to 1.
+    from osmpbf_ray.functions.partitioning import add_hash_pkey
+
     # groupby.map_groups upstream leaves pairs in ~n_parts TINY blocks;
-    # per-block task orchestration then dominates the two exchanges
+    # per-block task orchestration then dominates the exchanges
     # (measured 0.7 s → 5.9 s for 93k pairs at 128 blocks). Coalesce to
     # row-sized blocks first — a cheap split/merge pass, no shuffle.
     try:
@@ -526,33 +555,83 @@ def _pair_payload_join(pairs_ds, payload_ds, id_col: str, payload_col: str):
         pairs_ds = pairs_ds.repartition(int(np.clip(-(-rows // 250_000), 8, 512)))
         # tiny pair sets don't need 64 reduce groups per exchange — the
         # orchestration would dwarf the data; floor at 4, grow with rows
-        n_buckets = int(np.clip(-(-rows // 250_000), 4, 1 << 16))
+        n_buckets = int(np.clip(-(-rows // 125_000), 4, 1 << 16))
 
-    a_side = payload_ds.map_batches(
-        lambda b: b.rename_columns(["id_a", f"{payload_col}_a"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    b_side = payload_ds.map_batches(
-        lambda b: b.rename_columns(["id_b", f"{payload_col}_b"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    # explicit schemas keep each exchange single-execution: join2's
-    # schema() would otherwise re-run join1's whole shuffle
-    pschema = payload_ds.schema().base_schema
+    # explicit schemas keep each exchange single-execution: schema()
+    # on the lazy payload would otherwise run its whole upstream plan
+    pschema = (payload_schema if payload_schema is not None
+               else payload_ds.schema().base_schema)
     idt, pt = pschema.field(0).type, pschema.field(1).type
-    # the exchanges move ids only (+ the payload being attached)
     pairs_ds = pairs_ds.select_columns(["id_a", "id_b"])
-    pairs_schema = pa.schema([pa.field("id_a", idt), pa.field("id_b", idt)])
-    a_schema = pa.schema([pa.field("id_a", idt), pa.field(f"{payload_col}_a", pt)])
-    b_schema = pa.schema([pa.field("id_b", idt), pa.field(f"{payload_col}_b", pt)])
-    joined = partitioned_hash_join(
-        pairs_ds, a_side, key="id_a", left_schema=pairs_schema,
-        right_schema=a_schema, n_buckets=n_buckets,
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        n = batch.num_rows
+        return pa.table({
+            "id_a": pa.concat_arrays([a, a]),
+            "id_b": pa.concat_arrays([b, b]),
+            "side": pa.array(np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)]),
+            "id": pa.concat_arrays([a, b]),
+        })
+
+    exploded_schema = pa.schema([
+        pa.field("id_a", idt), pa.field("id_b", idt),
+        pa.field("side", pa.int8()), pa.field("id", idt)])
+    exploded = pairs_ds.map_batches(explode, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    payload_kv = payload_ds.map_batches(
+        lambda b: b.rename_columns(["id", payload_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
-    j1_schema = pa.schema(list(pairs_schema) + [pa.field(f"{payload_col}_a", pt)])
-    return partitioned_hash_join(
-        joined, b_side, key="id_b", left_schema=j1_schema,
-        right_schema=b_schema, n_buckets=n_buckets,
+    kv_schema = pa.schema([pa.field("id", idt), pa.field(payload_col, pt)])
+    attached = partitioned_hash_join(
+        exploded, payload_kv, key="id", left_schema=exploded_schema,
+        right_schema=kv_schema, n_buckets=n_buckets,
+    )
+    n_parts = n_buckets or 64
+
+    def add_pairkey(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        combo = (splitmix64(a) * np.uint64(0x9E3779B97F4A7C15)
+                 + splitmix64(b)).view(np.int64)
+        return add_hash_pkey(batch.append_column("__pairkey", pa.array(combo)),
+                             "__pairkey", n_parts)
+
+    def reassemble(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["__pairkey", "__pkey"])
+        empty = pa.table({"id_a": pa.array([], idt), "id_b": pa.array([], idt),
+                          f"{payload_col}_a": pa.array([], pt),
+                          f"{payload_col}_b": pa.array([], pt)})
+        if t.num_rows == 0:
+            return empty
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        s = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, b, a))
+        a2, b2, s2 = a[order], b[order], s[order]
+        if len(a2) % 2:
+            raise ValueError("pair id missing from candidate payload table")
+        even = np.arange(0, len(a2), 2)
+        if not (np.array_equal(a2[even], a2[even + 1])
+                and np.array_equal(b2[even], b2[even + 1])
+                and (s2[even] == 0).all() and (s2[even + 1] == 1).all()):
+            raise ValueError("pair id missing from candidate payload table")
+        pay = t.column(payload_col).take(pa.array(order))
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        return pa.table({
+            "id_a": pa.array(a2[even]), "id_b": pa.array(b2[even]),
+            f"{payload_col}_a": pay.take(pa.array(even)),
+            f"{payload_col}_b": pay.take(pa.array(even + 1)),
+        })
+
+    return (
+        attached.map_batches(add_pairkey, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("__pkey")
+        .map_groups(reassemble, batch_format="pyarrow")
     )
 
 
@@ -811,9 +890,15 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
         return pa.table({id_col: batch.column(id_col),
                          "unit": pa.array([u.tobytes() for u in unit], type=pa.binary())})
 
+    # lazy + arithmetic size gate, same reasoning as the minhash verify:
+    # no materialize-to-measure, payload consumed once in the large path
     unit_ds = cand_vec_ds.map_batches(
         unit_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # joined twice (id_a, id_b)
+    )
+    n_pairs = pairs.count()
+    unit_bound = 2 * n_pairs * (dim * 8 + 16)
+    unit_schema = pa.schema([pa.field(id_col, pa.int64()),
+                             pa.field("unit", pa.binary())])
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -828,6 +913,7 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
         )
         return out.filter(pa.array(cos >= threshold))
 
-    return _pair_payload_join(pairs, unit_ds, id_col, "unit").map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return _pair_payload_join(
+        pairs, unit_ds, id_col, "unit", payload_bytes=unit_bound,
+        payload_schema=unit_schema,
+    ).map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

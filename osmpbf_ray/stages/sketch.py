@@ -143,6 +143,26 @@ def bloom_contains(bits: np.ndarray, values: np.ndarray, k: int = 4) -> np.ndarr
     return out
 
 
+def bloom_from_ds(ds, key_col: str, n_bits_pow: int = 20, k: int = 4) -> np.ndarray:
+    """Distributed Bloom build: per-block partial filters OR-merged on
+    the driver (a mergeable sketch, the same partial+final shape as
+    ``hll_registers``) — the small-side keyset never materializes
+    anywhere, only fixed 2^(n_bits_pow-3)-byte partials move. Identical
+    bits to ``bloom_build`` over the collected keys (OR of per-block
+    builds sets exactly the same indexes)."""
+    from osmpbf_ray.functions.mapreduce import par_map_reduce
+
+    def fold(batch: pa.Table) -> np.ndarray:
+        vals = batch.column(key_col).drop_null().to_numpy(zero_copy_only=False)
+        return bloom_build(vals, n_bits_pow, k)
+
+    return par_map_reduce(
+        ds, fold,
+        lambda: np.zeros((1 << n_bits_pow) >> 3, dtype=np.uint8),
+        np.bitwise_or,
+    )
+
+
 def bloom_semi_join(ds, key_col: str, small_keys: np.ndarray,
                     n_bits_pow: int = 20, exact: bool = True):
     """Semi-join with a broadcast Bloom pre-filter.

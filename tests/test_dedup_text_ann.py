@@ -348,3 +348,36 @@ def test_ivf_clustered_layout_prunes_scan(tmp_path):
         raise AssertionError("expected FileExistsError on dirty lists dir")
     except FileExistsError:
         pass
+
+
+def test_pair_payload_join_lazy_path_identical(monkeypatch):
+    """The large-payload shape (explode pairs → ONE lazy payload join →
+    pair-key reassembly) must produce byte-identical verified pairs to
+    the broadcast shape — forced by zeroing the broadcast gate."""
+    docs = _docs_table(n=150, dup_pairs=25)
+    ds = rd.from_arrow(docs)
+
+    def key(df):
+        return sorted(zip(df["id_a"], df["id_b"], df["est_jaccard"]))
+
+    a = dedup.minhash_candidate_pairs(ds, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_PAYLOAD_BYTES", 0)
+    b = dedup.minhash_candidate_pairs(ds, threshold=0.5).to_pandas()
+    assert len(a) > 0
+    assert key(a) == key(b)
+
+    # embedding verify head through the same forced path
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((80, 8))
+    vecs[40:50] = vecs[:10] + rng.standard_normal((10, 8)) * 0.01
+    tbl = pa.table({"vec_id": np.arange(80, dtype=np.int64),
+                    "embedding": [v.tolist() for v in vecs]})
+    monkeypatch.undo()
+    ea = dedup.embedding_near_dup_pairs(rd.from_arrow(tbl),
+                                        threshold=0.9).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_PAYLOAD_BYTES", 0)
+    eb = dedup.embedding_near_dup_pairs(rd.from_arrow(tbl),
+                                        threshold=0.9).to_pandas()
+    assert len(ea) > 0
+    assert sorted(zip(ea["id_a"], ea["id_b"], ea["cosine"])) == \
+        sorted(zip(eb["id_a"], eb["id_b"], eb["cosine"]))

@@ -520,3 +520,24 @@ def test_prune_offsets_exact_above_2_53(tmp_path):
     assert idx.prune_offsets(np.array([big + 1])) == []
     assert idx.prune_offsets(np.array([7])) == [30]
     assert idx.prune_offsets(np.array([], dtype=np.int64)) == []
+
+
+def test_blobheader_indexdata_passthrough(tmp_path):
+    """BlobHeader.indexdata (fileformat.proto:63-67) survives the framed
+    write → header scan → raw read path: scan_blobs surfaces the bytes
+    verbatim (None when absent), and read_pbf_raw carries them as an
+    explicitly binary-typed column even when every row is absent."""
+    path = _write_golden(tmp_path, "zlib", True)
+    with open(path, "ab") as f:
+        f.write(pbf._blob_frame("SomeIndexedType", b"\x0a\x00", "raw",
+                                indexdata=b"\x01\x02tile"))
+    descs = pbf.scan_blobs(path)
+    assert all("indexdata" in d for d in descs)
+    assert descs[-1]["indexdata"] == b"\x01\x02tile"
+    assert all(d["indexdata"] is None for d in descs[:-1])
+
+    raw = pbf.read_pbf_raw(path, decompress=False).take_batch(
+        100, batch_format="pyarrow")
+    assert raw.schema.field("indexdata").type == pa.binary()
+    vals = raw.column("indexdata").to_pylist()
+    assert b"\x01\x02tile" in vals and vals.count(None) == len(vals) - 1

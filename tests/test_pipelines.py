@@ -247,6 +247,27 @@ def test_write_flagship_resumable(tmp_path):
     assert a == b
 
 
+def test_write_flagship_builds_index_once_per_worker(tmp_path):
+    """The per-fragment writer must NOT rebuild the polygon index per
+    fragment: across many fragments on a small CPU pool the number of
+    index builds is bounded by the worker count, not the fragment
+    count (the single-slot worker cache amortizes setup)."""
+    import pyarrow.parquet as pq
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    images = fixtures.make_images(240)
+    n_frag = 12
+    for f in range(n_frag):
+        pq.write_table(images.slice(f * 20, 20), in_dir / f"frag-{f:02d}.parquet")
+    polygons = fixtures.make_polygons(10)
+    res = flagship.write_flagship_resumable(str(in_dir), polygons, str(out_dir))
+    assert res["written"] == n_frag
+    # the pytest session runs 4 CPUs -> at most a handful of worker
+    # processes; well under one build per fragment
+    assert 0 < res["index_builds"] < n_frag, res
+
+
 def test_knn_planar_kring_exact_vs_brute_force():
     """planar_deg k-ring kNN is EXACT (certified ring coverage incl.
     antimeridian wrap): ids and distances equal the wrapped-planar

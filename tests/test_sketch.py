@@ -77,3 +77,18 @@ def test_approx_distinct_dataset():
     est = sketch.approx_distinct(ds, "k", p=12)
     exact = true_n  # dense draw of 60k over 7k keys covers all with P≈1
     assert abs(est / exact - 1) < 0.05
+
+
+def test_bloom_from_ds_equals_driver_build():
+    """Distributed Bloom build (per-block partials OR-merged) sets
+    exactly the same bits as a driver-side build over the same keys."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 1 << 40, size=5000)
+    tbl = pa.table({"k": keys})
+    bits_dist = sketch.bloom_from_ds(
+        rd.from_arrow(tbl).repartition(8), "k", n_bits_pow=18)
+    bits_drv = sketch.bloom_build(keys, n_bits_pow=18)
+    assert np.array_equal(bits_dist, bits_drv)
+    assert sketch.bloom_contains(bits_dist, keys).all()
