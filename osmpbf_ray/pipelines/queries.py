@@ -1321,6 +1321,25 @@ def _synth_audio_path() -> str:
     return path
 
 
+def _synth_audio_mulaw_path() -> str:
+    """The µ-law twin of ``_synth_audio_path``: the SAME splitmix
+    samples, G.711-companded to one byte per sample — the engine must
+    decode the ACTUAL compressed bytes; the oracle re-derives the
+    samples AND the companding from first principles (integer SQL)."""
+    import os
+    import os.path as osp
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = f"{_CACHE_DIR}/audio_mulaw_n{_AUDIO_N}_s{_AUDIO_SAMPLES}.parquet"
+    if not osp.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(
+            fixtures.make_audio(_AUDIO_N, _AUDIO_SAMPLES, codec="mulaw_u8"),
+            tmp)
+        os.replace(tmp, path)
+    return path
+
+
 _VIDEO_N, _VIDEO_FRAMES, _VIDEO_H, _VIDEO_W, _VIDEO_K = 48, 16, 16, 16, 4
 
 
@@ -1341,6 +1360,25 @@ def _synth_video_path() -> str:
     return path
 
 
+def _synth_video_zlib_path() -> str:
+    """Compressed twin of ``_synth_video_path``: the SAME splitmix
+    frames, deflate-compressed per clip (``zraw_gray8``). Lossless, so
+    the first-principles pixel oracle applies unchanged — the compare
+    proves the engine decompressed the ACTUAL payload bytes."""
+    import os
+    import os.path as osp
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = f"{_CACHE_DIR}/video_zraw_n{_VIDEO_N}_f{_VIDEO_FRAMES}.parquet"
+    if not osp.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(
+            fixtures.make_video(_VIDEO_N, _VIDEO_FRAMES, _VIDEO_H, _VIDEO_W,
+                                codec="zraw_gray8"), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def q_video_frame_stats(sf_dir: str):
     """Multimodal video: opaque raw-frame binary column → actor-pool
     per-frame feature stage (pixel sum + motion energy vs previous
@@ -1349,6 +1387,20 @@ def q_video_frame_stats(sf_dir: str):
     from osmpbf_ray.stages import video
 
     return video.frame_stats(rd.read_parquet(_synth_video_path()),
+                             concurrency=_conc())
+
+
+def q_video_frame_stats_zlib(sf_dir: str):
+    """COMPRESSED-codec video path: the payload is per-clip deflate
+    (``zraw_gray8``); the feature stage's codec-dispatched decode
+    decompresses the actual bytes before the same per-frame features
+    (stages/video.py:decode_frames_any). Lossless, so the identical
+    first-principles pixel oracle must hash-match — a wrong byte
+    anywhere in decompress or reshape breaks the compare. The engine's
+    lossy intra-frame codec (``ldcv1``) is PSNR-gated in pytest."""
+    from osmpbf_ray.stages import video
+
+    return video.frame_stats(rd.read_parquet(_synth_video_zlib_path()),
                              concurrency=_conc())
 
 
@@ -1726,6 +1778,17 @@ def q_audio_features(sf_dir: str):
     return audio.audio_features(ds, window=_AUDIO_WINDOW, concurrency=_conc())
 
 
+def q_audio_features_mulaw(sf_dir: str):
+    """COMPRESSED-codec audio path: the payload is G.711 µ-law (one byte
+    per sample); the feature stage's codec-dispatched decode expands the
+    actual companded bytes to int16 before the same windowed features
+    (stages/audio.py:mulaw_encode/_MULAW_LUT — verified byte-identical
+    to CPython's audioop). The oracle reproduces encode∘decode in pure
+    integer SQL, so a single wrong decoded sample hash-mismatches."""
+    ds = rd.read_parquet(_synth_audio_mulaw_path())
+    return audio.audio_features(ds, window=_AUDIO_WINDOW, concurrency=_conc())
+
+
 def _supplier_ref_points(sf_dir: str):
     ref = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
     sk = ref.column("s_suppkey").to_numpy()
@@ -2011,6 +2074,8 @@ def queries() -> dict:
         "hash_sample": q_hash_sample,
         "ivf_knn": q_ivf_knn,
         "knn_join_geo_kring": q_knn_join_geo_kring,
+        "audio_features_mulaw": q_audio_features_mulaw,
+        "video_frame_stats_zlib": q_video_frame_stats_zlib,
         "audio_features": q_audio_features,
         "video_frame_stats": q_video_frame_stats,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -2677,10 +2742,12 @@ def oracle_sql() -> dict:
     # over generate_series) — the engine decoded the actual PCM bytes, so
     # equality proves decode + windowing + feature math end-to-end
     W = _AUDIO_WINDOW
-    def _video_sql(keep_every: int) -> str:
+    def _video_sql(keep_every: int, path: str | None = None) -> str:
         # pixel (clip i, frame f, pixel p) = splitmix64((i*64+f)*4096+p) % 256,
         # recomputed from first principles; motion = sum |v - v of the
         # previous KEPT frame| per pixel (frame 0 → all-null lag → 0)
+        if path is None:
+            path = _synth_video_path()
         return (
             _splitmix64_cte(
                 "key",
@@ -2688,7 +2755,7 @@ def oracle_sql() -> dict:
                 "keyed",
                 prelude=(
                     "meta AS (SELECT video_id, n_frames, h*w AS npx "
-                    f"FROM read_parquet('{_synth_video_path()}')), "
+                    f"FROM read_parquet('{path}')), "
                     "fr AS (SELECT video_id, npx, "
                     "unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f "
                     "FROM meta), "
@@ -2823,27 +2890,57 @@ def oracle_sql() -> dict:
     )
     sql["video_frame_stats"] = _video_sql(1)
     sql["video_frame_sample"] = _video_sql(_VIDEO_K)
-    sql["audio_features"] = (
-        _splitmix64_cte(
+    # lossless deflate codec: identical pixel oracle, different payload
+    sql["video_frame_stats_zlib"] = _video_sql(1, path=_synth_video_zlib_path())
+    def _audio_feat_sql(path: str, compand: bool) -> str:
+        head = _splitmix64_cte(
             "key",
             "audio_id, j",
             "keyed",
             prelude=(
-                f"meta AS (SELECT audio_id, n_samples FROM read_parquet('{_synth_audio_path()}')), "
+                f"meta AS (SELECT audio_id, n_samples FROM read_parquet('{path}')), "
                 "pos AS MATERIALIZED (SELECT audio_id, "
                 "unnest(generate_series(0, CAST(n_samples - 1 AS INT))) AS j FROM meta), "
                 "keyed AS MATERIALIZED (SELECT audio_id, j, "
                 "CAST(CAST(audio_id AS HUGEINT) * 4294967296 + j AS UBIGINT) AS key FROM pos), "
             ),
+        ) + (", samp AS MATERIALIZED (SELECT audio_id, j, "
+             "CAST(h % 65536 AS BIGINT) - 32768 AS s FROM smh)")
+        src = "samp"
+        if compand:
+            # G.711 µ-law encode∘decode from first principles (the CCITT
+            # reference algorithm: 14-bit shift, clip 8159, bias 33,
+            # segment search; expansion ((m*8)+132)<<seg − 132) — pure
+            # integer SQL, so the compare proves the engine decoded the
+            # ACTUAL companded bytes
+            head += (
+                ", c1 AS (SELECT audio_id, j, s >> 2 AS x14 FROM samp), "
+                "c2 AS (SELECT audio_id, j, x14 < 0 AS neg, "
+                "least(CASE WHEN x14 < 0 THEN -x14 ELSE x14 END, 8159) + 33 AS mag FROM c1), "
+                "c3 AS (SELECT audio_id, j, neg, mag, "
+                "CAST(mag > 63 AS INT) + CAST(mag > 127 AS INT) + CAST(mag > 255 AS INT) + "
+                "CAST(mag > 511 AS INT) + CAST(mag > 1023 AS INT) + CAST(mag > 2047 AS INT) + "
+                "CAST(mag > 4095 AS INT) + CAST(mag > 8191 AS INT) AS seg FROM c2), "
+                "c4 AS (SELECT audio_id, j, neg, CASE WHEN seg >= 8 THEN 127 "
+                "ELSE (seg * 16) + ((mag >> (seg + 1)) & 15) END AS uval FROM c3), "
+                "comp AS MATERIALIZED (SELECT audio_id, j, CAST(CASE WHEN neg "
+                "THEN 132 - (((uval & 15) * 8 + 132) * (1 << ((uval >> 4) & 7))) "
+                "ELSE (((uval & 15) * 8 + 132) * (1 << ((uval >> 4) & 7))) - 132 "
+                "END AS BIGINT) AS s FROM c4)"
+            )
+            src = "comp"
+        return (
+            head
+            + f", win AS (SELECT audio_id, j // {W} AS w, s, lag(s) OVER "
+            f"(PARTITION BY audio_id, j // {W} ORDER BY j) AS prev FROM {src}) "
+            "SELECT audio_id, CAST(w AS BIGINT) AS window, "
+            "CAST(SUM(s*s) AS BIGINT) AS sumsq, "
+            "CAST(count_if(prev * s < 0) AS BIGINT) AS n_cross, "
+            f"round(sqrt(CAST(SUM(s*s) AS DOUBLE) / {W}), 9) AS rms "
+            "FROM win GROUP BY audio_id, w"
         )
-        + ", samp AS MATERIALIZED (SELECT audio_id, j, "
-        "CAST(h % 65536 AS BIGINT) - 32768 AS s FROM smh), "
-        f"win AS (SELECT audio_id, j // {W} AS w, s, lag(s) OVER "
-        f"(PARTITION BY audio_id, j // {W} ORDER BY j) AS prev FROM samp) "
-        "SELECT audio_id, CAST(w AS BIGINT) AS window, "
-        "CAST(SUM(s*s) AS BIGINT) AS sumsq, "
-        "CAST(count_if(prev * s < 0) AS BIGINT) AS n_cross, "
-        f"round(sqrt(CAST(SUM(s*s) AS DOUBLE) / {W}), 9) AS rms "
-        "FROM win GROUP BY audio_id, w"
-    )
+
+    sql["audio_features"] = _audio_feat_sql(_synth_audio_path(), compand=False)
+    sql["audio_features_mulaw"] = _audio_feat_sql(_synth_audio_mulaw_path(),
+                                                  compand=True)
     return sql

@@ -443,7 +443,8 @@ def make_polygons(n: int = 30, seed: int = SEED) -> pa.Table:
 # --- audio table ------------------------------------------------------------
 
 
-def make_audio(n: int = 64, n_samples: int = 2048, sr: int = 16000) -> pa.Table:
+def make_audio(n: int = 64, n_samples: int = 2048, sr: int = 16000,
+               codec: str = "pcm_s16le") -> pa.Table:
     """Audio table: opaque little-endian int16 PCM payload + typed
     metadata, per the multimodal-column contract (schema.AUDIO_SCHEMA).
 
@@ -458,14 +459,24 @@ def make_audio(n: int = 64, n_samples: int = 2048, sr: int = 16000) -> pa.Table:
     ids = np.arange(n, dtype=np.uint64)
     keys = (ids[:, None] << np.uint64(32)) + np.arange(n_samples, dtype=np.uint64)[None, :]
     samples = (splitmix64(keys) & np.uint64(0xFFFF)).astype(np.int64) - 32768
-    pcm = samples.astype("<i2").tobytes()
-    step = 2 * n_samples
+    if codec == "mulaw_u8":
+        # the SAME splitmix samples, G.711-companded — the compressed-
+        # codec twin of the PCM table (1 byte/sample on the wire)
+        from osmpbf_ray.stages.audio import mulaw_encode
+
+        pcm = mulaw_encode(samples.astype(np.int16)).tobytes()
+        step = n_samples
+    elif codec == "pcm_s16le":
+        pcm = samples.astype("<i2").tobytes()
+        step = 2 * n_samples
+    else:
+        raise ValueError(f"unsupported fixture codec {codec!r}")
     return pa.table(
         {
             "audio_id": ids.astype(np.int64),
             "pcm": pa.array([pcm[i * step:(i + 1) * step] for i in range(n)],
                             type=pa.binary()),
-            "codec": pa.array(["pcm_s16le"] * n),
+            "codec": pa.array([codec] * n),
             "sr": pa.array([sr] * n, type=pa.int64()),
             "n_samples": pa.array([n_samples] * n, type=pa.int64()),
         },
@@ -476,7 +487,8 @@ def make_audio(n: int = 64, n_samples: int = 2048, sr: int = 16000) -> pa.Table:
 # --- video table ------------------------------------------------------------
 
 
-def make_video(n: int = 48, n_frames: int = 16, h: int = 16, w: int = 16) -> pa.Table:
+def make_video(n: int = 48, n_frames: int = 16, h: int = 16, w: int = 16,
+               codec: str = "rawvideo_gray8") -> pa.Table:
     """Video table: opaque raw-gray8 frame payload + typed metadata
     (schema.VIDEO_SCHEMA). Pixel p of frame f of clip i is
     ``splitmix64((i*64 + f)*4096 + p) % 256`` — deterministic under any
@@ -494,12 +506,23 @@ def make_video(n: int = 48, n_frames: int = 16, h: int = 16, w: int = 16) -> pa.
             + np.arange(h * w, dtype=np.uint64)[None, None, :])
     px = (splitmix64(keys) % np.uint64(256)).astype(np.uint8)
     flat = px.reshape(n, -1)
+    if codec == "rawvideo_gray8":
+        payloads = [flat[i].tobytes() for i in range(n)]
+    elif codec == "zraw_gray8":
+        from osmpbf_ray.stages.video import encode_zraw
+
+        payloads = [encode_zraw(flat[i]) for i in range(n)]
+    elif codec == "ldcv1":
+        from osmpbf_ray.stages.video import encode_ldcv
+
+        payloads = [encode_ldcv(px[i], h, w) for i in range(n)]
+    else:
+        raise ValueError(f"unsupported fixture codec {codec!r}")
     return pa.table(
         {
             "video_id": ids.astype(np.int64),
-            "frames": pa.array([flat[i].tobytes() for i in range(n)],
-                               type=pa.binary()),
-            "codec": pa.array(["rawvideo_gray8"] * n),
+            "frames": pa.array(payloads, type=pa.binary()),
+            "codec": pa.array([codec] * n),
             "n_frames": pa.array([n_frames] * n, type=pa.int64()),
             "h": pa.array([h] * n, type=pa.int64()),
             "w": pa.array([w] * n, type=pa.int64()),

@@ -21,20 +21,80 @@ sizing, output layout) is real and tested either way.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# hoisted: these run inside Ray workers (runtime osmpbf_ray imports in
+# worker-executed bodies fail when the driver cwd can't import the
+# package — pickle-by-value does not cover runtime imports)
+from osmpbf_ray.stages.image import _D8, _QBASE, _blockify
+
 RAW_CODEC = "rawvideo_gray8"
+ZRAW_CODEC = "zraw_gray8"   # lossless: zlib over the raw frame bytes
+LDCV_CODEC = "ldcv1"        # lossy: per-frame 8x8 DCT quantization (intra)
+
+_LDCV_MAGIC = b"LDV1"
 
 
-def decode_compressed(data: bytes, codec: str) -> np.ndarray:  # pragma: no cover
-    """STUB: compressed-video decode (h264/vp9/av1) requires external
-    codec libraries. The surrounding pipeline (binary column in,
-    (frames, h, w) uint8 tensor out) is the real, tested contract."""
+def encode_zraw(frames: np.ndarray) -> bytes:
+    """Lossless intra clip codec: zlib over the concatenated gray8
+    frames (the PNG-style deflate path, minus filtering)."""
+    return zlib.compress(np.ascontiguousarray(frames, dtype=np.uint8)
+                         .tobytes(), 6)
+
+
+def encode_ldcv(frames: np.ndarray, h: int, w: int,
+                quality: float = 1.0) -> bytes:
+    """Lossy INTRA-FRAME clip codec: every frame independently 8x8
+    blockwise-DCT quantized (the engine's image codec — stages/image.py
+    LDC — applied per gray frame; no inter-frame prediction). Decode
+    error is bounded by the quantization ramp: PSNR ≥ 40 dB at
+    quality 1.0 (verified in pytest), satisfying the north rule's
+    lossy-pixel invariant."""
+    t = np.asarray(frames, dtype=np.uint8).reshape(-1, h, w)
+    q = _QBASE * quality
+    coefs = []
+    for f in t:  # per frame: _blockify pads ragged edges per frame
+        blocks, hb, wb = _blockify(f.astype(np.float64) - 128.0)
+        coefs.append(np.round((_D8 @ blocks @ _D8.T) / q).astype(np.int16))
+    payload = zlib.compress(np.stack(coefs).tobytes(), 6)
+    return (_LDCV_MAGIC + struct.pack(">HHHf", len(t), h, w, quality)
+            + payload)
+
+
+def decode_ldcv(data: bytes) -> np.ndarray:
+    """(n_frames, h*w) uint8 from an ldcv1 payload — one zlib
+    decompress + one stacked inverse-DCT matmul pair for ALL frames."""
+    if data[:4] != _LDCV_MAGIC:
+        raise ValueError("not an LDV1 payload")
+    nf, h, w, quality = struct.unpack(">HHHf", data[4:14])
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    coefs = np.frombuffer(zlib.decompress(data[14:]), dtype=np.int16)
+    coefs = coefs.reshape(nf, hb, wb, 8, 8)
+    q = _QBASE * quality
+    rec = np.matmul(np.matmul(_D8.T, coefs.astype(np.float64) * q), _D8)
+    full = rec.transpose(0, 1, 3, 2, 4).reshape(nf, hb * 8, wb * 8) + 128.0
+    out = np.clip(np.round(full[:, :h, :w]), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(out).reshape(nf, h * w)
+
+
+def decode_compressed(data: bytes, codec: str) -> np.ndarray:
+    """Compressed clip bytes → (n_frames, h*w)-shaped uint8 samples.
+    ``zraw_gray8`` (lossless deflate) and ``ldcv1`` (the engine's lossy
+    intra-frame DCT codec) decode natively; hardware codecs (h264/vp9/
+    av1) require external libraries this environment doesn't ship and
+    raise — swap the fallthrough for a real decoder in production."""
+    if codec == ZRAW_CODEC:
+        return np.frombuffer(zlib.decompress(data), dtype=np.uint8)
+    if codec == LDCV_CODEC:
+        return decode_ldcv(data)
     raise NotImplementedError(
         f"compressed video codec {codec!r} requires an external decoder; "
-        f"only {RAW_CODEC} is decoded natively"
+        f"only {RAW_CODEC}, {ZRAW_CODEC} and {LDCV_CODEC} are decoded natively"
     )
 
 
@@ -63,6 +123,24 @@ def _meta(batch: pa.Table) -> tuple[int, int, int]:
             int(batch.column("w")[0].as_py()))
 
 
+def decode_frames_any(batch: pa.Table, frames_col: str, n_frames: int,
+                      h: int, w: int) -> np.ndarray:
+    """Codec-dispatched batch decode (uniform codec per batch, like the
+    other metadata columns): raw frames take the zero-copy frombuffer
+    path; zraw/ldcv payloads decompress per clip (inherent to deflate)
+    with the frame math still batched."""
+    codec = RAW_CODEC
+    if "codec" in batch.schema.names and batch.num_rows:
+        codec = batch.column("codec")[0].as_py()
+    if codec == RAW_CODEC:
+        return decode_frames(batch.column(frames_col), n_frames, h, w)
+    vals = batch.column(frames_col).to_pylist()
+    if not vals:
+        return np.empty((0, n_frames, h * w), dtype=np.uint8)
+    return np.stack([decode_compressed(v, codec).reshape(n_frames, h * w)
+                     for v in vals])
+
+
 class VideoFrameStats:
     """Actor-pool stage: per-(clip, frame) integer features — pixel sum
     and motion energy (sum |frame - previous frame|; frame 0 → 0).
@@ -82,7 +160,7 @@ class VideoFrameStats:
             return empty
         nf, h, w = _meta(batch)
         ids = batch.column(self.id_col).to_numpy()
-        t = decode_frames(batch.column(self.frames_col), nf, h, w).astype(np.int64)
+        t = decode_frames_any(batch, self.frames_col, nf, h, w).astype(np.int64)
         px_sum = t.sum(axis=2)
         motion = np.zeros_like(px_sum)
         motion[:, 1:] = np.abs(t[:, 1:] - t[:, :-1]).sum(axis=2)
@@ -109,7 +187,7 @@ class FrameSampleStage:
         if batch.num_rows == 0:
             return batch
         nf, h, w = _meta(batch)
-        t = decode_frames(batch.column(self.frames_col), nf, h, w)
+        t = decode_frames_any(batch, self.frames_col, nf, h, w)
         kept = t[:, ::self.k, :]
         n_kept = kept.shape[1]
         flat = np.ascontiguousarray(kept).reshape(len(t), -1)
@@ -123,6 +201,11 @@ class FrameSampleStage:
         out = out.set_column(
             j, "n_frames", pa.array(np.full(len(t), n_kept, dtype=np.int64))
         )
+        # the rewritten payload is RAW regardless of the input codec
+        if "codec" in out.schema.names:
+            out = out.set_column(
+                out.schema.get_field_index("codec"), "codec",
+                pa.array([RAW_CODEC] * len(t), type=pa.string()))
         # `fps` stays the SOURCE capture rate; time-based math on the
         # sampled clip (duration, timestamps) must use effective_fps =
         # fps / every_k — without it n_frames/fps is wrong by k×

@@ -72,3 +72,51 @@ def test_audio_features_dataset_path():
     out = audio.audio_features(ds, window=64, concurrency=2, batch_size=8).to_pandas()
     assert len(out) == 16 * 4
     assert out.groupby("audio_id").size().eq(4).all()
+
+
+def test_mulaw_matches_audioop_reference():
+    """The G.711 encode/decode must be byte-identical to CPython's
+    audioop implementation across the FULL int16 range (the industry
+    reference for this codec)."""
+    audioop = pytest.importorskip("audioop")
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    enc = audio.mulaw_encode(x)
+    ref = np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(enc, ref)
+    dec = audio.mulaw_decode(np.arange(256, dtype=np.uint8))
+    dref = np.frombuffer(
+        audioop.ulaw2lin(bytes(np.arange(256, dtype=np.uint8)), 2),
+        dtype=np.int16)
+    assert np.array_equal(dec, dref)
+
+
+def test_mulaw_roundtrip_and_decode_compressed():
+    """encode→decode is idempotent on decoded values (a µ-law code maps
+    to one quantized sample), decode_compressed dispatches the codec,
+    and unknown codecs still raise the declared stub error."""
+    rng = np.random.default_rng(6)
+    x = rng.integers(-32768, 32768, size=4096).astype(np.int16)
+    enc = audio.mulaw_encode(x)
+    dec = audio.decode_compressed(enc.tobytes(), audio.MULAW_CODEC)
+    assert dec.dtype == np.int16 and len(dec) == len(x)
+    # companding is a quantizer: re-encoding the decoded signal is a fixpoint
+    assert np.array_equal(audio.mulaw_encode(dec), enc)
+    # quantization error bounded by the largest segment step (~1/8 magnitude)
+    assert np.abs(dec.astype(np.int32) - x.astype(np.int32)).max() <= 1024
+    with pytest.raises(NotImplementedError):
+        audio.decode_compressed(b"\x00", "mp3")
+
+
+def test_audio_features_mulaw_pipeline():
+    """The windowed feature stage decodes µ-law payloads transparently
+    (codec column dispatch): features equal the PCM pipeline run on the
+    companded samples."""
+    tbl = fixtures.make_audio(6, 1024, codec="mulaw_u8")
+    out = audio.AudioFeatures(window=256)(tbl)
+    # independent recompute: expected samples → encode∘decode → features
+    exp = _expected_samples(6, 1024).astype(np.int16)
+    comp = audio.mulaw_decode(audio.mulaw_encode(exp)).astype(np.int64)
+    wins = comp.reshape(6, 4, 256)
+    sumsq = (wins * wins).sum(axis=2).ravel()
+    assert np.array_equal(out.column("sumsq").to_numpy(), sumsq)

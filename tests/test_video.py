@@ -85,3 +85,43 @@ def test_video_dataset_composition():
         assert r.px_sum == px[i, f].sum()
         expect = 0 if f == 0 else np.abs(px[i, f] - px[i, f - 1]).sum()
         assert r.motion == expect
+
+
+def test_zraw_codec_lossless_roundtrip():
+    flat = _expected_pixels(4, 8, 8, 8).reshape(4, -1)
+    for i in range(4):
+        enc = video.encode_zraw(flat[i])
+        dec = video.decode_compressed(enc, video.ZRAW_CODEC)
+        assert np.array_equal(dec, flat[i])
+    with pytest.raises(NotImplementedError):
+        video.decode_compressed(b"\x00", "h264")
+
+
+def test_ldcv_codec_psnr_bound():
+    """The engine's lossy intra-frame DCT codec must satisfy the north
+    rule's decoded-pixel invariant: PSNR >= 40 dB per clip at default
+    quality, with a real compression win over raw."""
+    from osmpbf_ray.stages.image import psnr
+
+    px = _expected_pixels(3, 8, 16, 16)  # (n, nf, h*w)
+    for i in range(3):
+        enc = video.encode_ldcv(px[i], 16, 16)
+        dec = video.decode_compressed(enc, video.LDCV_CODEC)
+        assert dec.shape == (8, 256)
+        p = psnr(px[i].reshape(8, 16, 16), dec.reshape(8, 16, 16))
+        assert p >= 40.0, f"clip {i} PSNR {p}"
+
+
+def test_frame_stats_on_compressed_codecs():
+    """frame_stats and frame_sample compose over compressed payloads:
+    zraw results equal the raw-codec results bit-for-bit; the sampled
+    output payload is rewritten as raw."""
+    raw = fixtures.make_video(6, 8, 8, 8)
+    zr = fixtures.make_video(6, 8, 8, 8, codec="zraw_gray8")
+    a = video.VideoFrameStats()(raw)
+    b = video.VideoFrameStats()(zr)
+    assert a.equals(b)
+    sampled = video.FrameSampleStage(every_k=2)(zr)
+    assert sampled.column("codec")[0].as_py() == video.RAW_CODEC
+    c = video.VideoFrameStats()(sampled)
+    assert c.num_rows == 6 * 4
