@@ -275,6 +275,18 @@ BENCH_QUERIES = [
     "pivot_returnflag",
     "resample_user_hours",
     "local_supplier_revenue",
+    # round-5 additions: compressed codecs, IVF clustered layout,
+    # vectorized fingerprinting, plus previously unswept r4 ops
+    "audio_features_mulaw",
+    "video_frame_stats_zlib",
+    "ivf_knn",
+    "doc_fingerprint",
+    "quality_score",
+    "embedding_near_dup",
+    "ntile_price_quartiles",
+    "rank_latest_orders",
+    "left_join_lineitems",
+    "hash_sample",
 ]
 
 

@@ -36,6 +36,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from osmpbf_ray.functions import blocks, joins, mapreduce, partitioning, temporal
+from osmpbf_ray.state import workercache
 from osmpbf_ray.pipelines import flagship as flagship_mod
 from osmpbf_ray.pipelines import spatial_join as sj
 from osmpbf_ray.pipelines import tiles as tiles_mod
@@ -1087,19 +1088,32 @@ def q_relation_resolve_typed(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
+    # elastic TASKS with a per-worker cached stage instance, not an
+    # actor pool: the stage's state (4 small Arrow value_sets) builds in
+    # microseconds, while the pool paid 2-4 s of actor spin-up — the
+    # whole query's kernel time is ~0.5 s (doc_fingerprint, the same
+    # table through a plain-function stage, measured 0.9 s vs 4.7 s)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.LangIdStage, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=_conc(),
-                          max_restarts=0).select_columns(
+
+    def lang_batch(batch: pa.Table) -> pa.Table:
+        stage = workercache.cached(("lang_id_stage",), text.LangIdStage)
+        return stage(batch)
+
+    return ds.map_batches(lang_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
         ["doc_id", "lang_pred"]
     )
 
 
 def q_quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(text.QualityStage, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=_conc(),
-                          max_restarts=0).select_columns(
+
+    def quality_batch(batch: pa.Table) -> pa.Table:
+        stage = workercache.cached(("quality_stage",), text.QualityStage)
+        return stage(batch)
+
+    return ds.map_batches(quality_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
         ["doc_id", "q_n_chars", "q_n_words", "q_punct_ratio", "q_stop_ratio", "q_mean_word_len"]
     )
 
@@ -1556,33 +1570,55 @@ def q_local_supplier_revenue(sf_dir: str):
         ("cents", pa.int64()), ("bp", pa.int64()),
         ("s_nationkey", pa.int64())])
 
-    # ASIA-customer Bloom, built DISTRIBUTED (per-block partials
-    # OR-merged — no driver keyset) and broadcast once: orders whose
-    # customer cannot be in an ASIA nation are dropped map-side BEFORE
-    # either fact exchange, so both the orderkey and custkey shuffles
-    # move ~|ASIA|/|nations| of the orders rows. Approximate is fine
-    # (no false negatives; false positives are re-checked by the inner
-    # customer join + the nation-equality filter downstream).
+    # ASIA-customer semi-filter on orders: rows whose customer cannot
+    # be in an ASIA nation are dropped map-side BEFORE either fact
+    # exchange, so both the orderkey and custkey shuffles move
+    # ~|ASIA|/|nations| of the orders rows. Size-gated build:
+    # * small customer table (row count from READ METADATA only): one
+    #   driver-side column read → exact sorted keyset broadcast once —
+    #   no extra Ray job, no false positives;
+    # * large: DISTRIBUTED Bloom (per-block partials OR-merged, fixed
+    #   128 KiB broadcast — sketch.bloom_from_ds). Approximate is fine
+    #   there: no false negatives, and false positives are re-checked
+    #   by the inner customer join + nation-equality filter downstream.
     import ray
 
     from osmpbf_ray.stages import sketch
 
     nat_ids = pa.array(ids_sorted, type=pa.int64())
-    cust_asia = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda b: b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
-                                    value_set=nat_ids)),
-        batch_format="pyarrow")
-    bits_ref = ray.put(sketch.bloom_from_ds(cust_asia, "c_custkey"))
+    cust_src = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    try:
+        n_cust = cust_src._meta_count()
+    except Exception:
+        n_cust = None
+    if n_cust is not None and n_cust <= 2_000_000:
+        ct = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+        ct = ct.filter(pc.is_in(ct["c_nationkey"].cast(pa.int64()),
+                                value_set=nat_ids))
+        keys = np.sort(ct["c_custkey"].to_numpy().astype(np.int64))
+        filt_ref = ray.put(("exact", keys))
+    else:
+        cust_asia = cust_src.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
+                                        value_set=nat_ids)),
+            batch_format="pyarrow")
+        filt_ref = ray.put(("bloom", sketch.bloom_from_ds(cust_asia, "c_custkey")))
 
-    def bloom_filt(batch: pa.Table) -> pa.Table:
+    def cust_filt(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
+        kind, payload = ray.get(filt_ref)
         vals = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(
-            sketch.bloom_contains(ray.get(bits_ref), vals)))
+        if kind == "exact":
+            pos = np.searchsorted(payload, vals)
+            keep = (pos < len(payload)) & (payload[np.minimum(pos, len(payload) - 1)] == vals)
+        else:
+            keep = sketch.bloom_contains(payload, vals)
+        return batch.filter(pa.array(keep))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        bloom_filt, batch_format="pyarrow", zero_copy_batch=True)
+        cust_filt, batch_format="pyarrow", zero_copy_batch=True)
     orders_schema = pa.schema([("o_orderkey", pa.int64()),
                                ("o_custkey", pa.int64())])
     j1 = joins.partitioned_hash_join(li2, orders, key="o_orderkey",

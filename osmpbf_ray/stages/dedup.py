@@ -319,6 +319,32 @@ def _collect_ids(pairs_ds) -> np.ndarray:
     return np.unique(np.concatenate([t.column("id_a").to_numpy(), t.column("id_b").to_numpy()]))
 
 
+def _candidate_fetch(source_ds, id_col: str, pairs_ds, cols: list[str],
+                     broadcast_bytes: int | None = None):
+    """``candidate_semi_join`` plus the EXACT distinct-candidate count
+    when the broadcast path runs (the id set is on the driver anyway) —
+    callers use it for exact payload-size gates. Distributed path
+    returns ``(ds, None)``."""
+    import ray
+
+    from osmpbf_ray.functions.joins import broadcast_semi_join
+
+    if broadcast_bytes is None:
+        broadcast_bytes = _BROADCAST_PAYLOAD_BYTES
+    try:
+        pair_bytes = pairs_ds.size_bytes()
+    except Exception:
+        pair_bytes = None
+    if pair_bytes is not None and pair_bytes <= broadcast_bytes:
+        cand_ids = _collect_ids(pairs_ds)
+        if len(cand_ids) == 0:
+            return None, 0
+        return (broadcast_semi_join(source_ds.select_columns(cols), id_col,
+                                    ray.put(cand_ids)), len(cand_ids))
+    return (candidate_semi_join(source_ds, id_col, pairs_ds, cols,
+                                broadcast_bytes=broadcast_bytes), None)
+
+
 def candidate_semi_join(source_ds, id_col: str, pairs_ds, cols: list[str],
                         broadcast_bytes: int | None = None):
     """Rows of ``source_ds[cols]`` whose id appears in any candidate
@@ -415,8 +441,9 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
                         _candidate_pair_fn, _candidate_pairs_empty,
                         n_parts=_fanout_for(ds, n_bands))
     ).materialize()  # consumed by the size gate AND the verify stage
-    cand_docs = candidate_semi_join(ds, id_col, pairs, [id_col, text_col],
-                                    broadcast_bytes=broadcast_bytes)
+    cand_docs, n_cand = _candidate_fetch(ds, id_col, pairs,
+                                         [id_col, text_col],
+                                         broadcast_bytes=broadcast_bytes)
     if cand_docs is None:
         return rd.from_arrow(empty)
 
@@ -434,8 +461,13 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
     sig_ds = cand_docs.map_batches(
         sig_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    n_pairs = pairs.count()
-    sig_bound = 2 * n_pairs * (n_perm * 8 + 16)
+    # exact candidate count when the pair table was broadcast-small
+    # (the common LSH case); ≤ 2 per pair otherwise. A dup-heavy corpus
+    # has far fewer DISTINCT candidates than 2×pairs — the loose bound
+    # alone would misroute a 16 MB payload into the distributed path.
+    if n_cand is None:
+        n_cand = 2 * pairs.count()
+    sig_bound = n_cand * (n_perm * 8 + 16)
     sig_schema = pa.schema([pa.field(id_col, pa.int64()),
                             pa.field("sig", pa.binary())])
 
@@ -875,8 +907,9 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
                         _candidate_pair_fn, _candidate_pairs_empty,
                         n_parts=_fanout_for(ds, n_bands))
     ).materialize()  # consumed by the size gate AND the verify stage
-    cand_vec_ds = candidate_semi_join(ds, id_col, pairs, [id_col, vec_col],
-                                      broadcast_bytes=broadcast_bytes)
+    cand_vec_ds, n_cand = _candidate_fetch(ds, id_col, pairs,
+                                           [id_col, vec_col],
+                                           broadcast_bytes=broadcast_bytes)
     if cand_vec_ds is None:
         return rd.from_arrow(empty)
 
@@ -895,8 +928,9 @@ def embedding_near_dup_pairs(ds, id_col="vec_id", vec_col="embedding",
     unit_ds = cand_vec_ds.map_batches(
         unit_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    n_pairs = pairs.count()
-    unit_bound = 2 * n_pairs * (dim * 8 + 16)
+    if n_cand is None:
+        n_cand = 2 * pairs.count()
+    unit_bound = n_cand * (dim * 8 + 16)
     unit_schema = pa.schema([pa.field(id_col, pa.int64()),
                              pa.field("unit", pa.binary())])
 
