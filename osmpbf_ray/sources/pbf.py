@@ -119,8 +119,26 @@ def decode_blob(buf, copy: bool = True):
             raw = dec.decompress(bytes(val), MAX_BLOB_MESSAGE_SIZE + 1)
             if len(raw) > MAX_BLOB_MESSAGE_SIZE or dec.unconsumed_tail:
                 raise ValueError("blob exceeds max uncompressed size")
-        elif field in (4, 5, 6, 7) and wire == w.WIRE_LEN:
-            raise ValueError("unsupported blob compression (lzma/bzip2/lz4/zstd)")
+        elif field == 4 and wire == w.WIRE_LEN:  # lzma_data
+            # stdlib decode for the proto's lzma variant
+            # (fileformat.proto:41-44; the reference ERRORS on these,
+            # src/blob.rs:463-465 — the engine goes further). Same
+            # streaming expansion bound as the zlib branch.
+            import lzma
+
+            dec = lzma.LZMADecompressor()
+            raw = dec.decompress(bytes(val), MAX_BLOB_MESSAGE_SIZE + 1)
+            if len(raw) > MAX_BLOB_MESSAGE_SIZE or (not dec.eof and not dec.needs_input):
+                raise ValueError("blob exceeds max uncompressed size")
+        elif field == 5 and wire == w.WIRE_LEN:  # OBSOLETE_bzip2_data
+            import bz2
+
+            dec = bz2.BZ2Decompressor()
+            raw = dec.decompress(bytes(val), MAX_BLOB_MESSAGE_SIZE + 1)
+            if len(raw) > MAX_BLOB_MESSAGE_SIZE or (not dec.eof and not dec.needs_input):
+                raise ValueError("blob exceeds max uncompressed size")
+        elif field in (6, 7) and wire == w.WIRE_LEN:
+            raise ValueError("unsupported blob compression (lz4/zstd)")
     if raw is None:
         raise ValueError("empty Blob")
     if len(raw) > MAX_BLOB_MESSAGE_SIZE:
@@ -680,6 +698,14 @@ def _blob_frame(btype: str, payload: bytes, compress: str,
         blob = w.field_varint(2, len(payload)) + w.field_len(3, zlib.compress(payload))
     elif compress == "raw":
         blob = w.field_len(1, payload) + w.field_varint(2, len(payload))
+    elif compress == "lzma":
+        import lzma
+
+        blob = w.field_varint(2, len(payload)) + w.field_len(4, lzma.compress(payload))
+    elif compress == "bzip2":
+        import bz2
+
+        blob = w.field_varint(2, len(payload)) + w.field_len(5, bz2.compress(payload))
     else:
         raise ValueError(f"unsupported compression {compress!r}")
     header = w.field_len(1, btype.encode())

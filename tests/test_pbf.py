@@ -132,9 +132,29 @@ def test_unknown_blob_type_skipped(tmp_path):
 
 
 def test_unsupported_compression_raises():
-    blob = w.field_len(4, b"xxxx")  # lzma_data
+    blob = w.field_len(6, b"xxxx")  # lz4_data (no stdlib decoder)
     with pytest.raises(ValueError, match="unsupported blob compression"):
         pbf.decode_blob(blob)
+
+
+def test_lzma_bzip2_blob_roundtrip(tmp_path):
+    """lzma and bzip2 blob codecs (fileformat.proto:41-49) decode
+    natively via the stdlib — the reference errors on both
+    (src/blob.rs:463-465); the engine reads them. Framed write →
+    element read roundtrip per codec, plus the expansion bound."""
+    import lzma
+
+    for codec in ("lzma", "bzip2"):
+        path = str(tmp_path / f"g_{codec}.osm.pbf")
+        pbf.write_pbf(path, nodes=fixtures.golden_nodes(), compress=codec)
+        nodes = pbf.read_pbf_nodes(path)
+        assert nodes.count() == 3
+        ids = sorted(r["id"] for r in nodes.take_all())
+        assert ids == sorted(n["id"] for n in fixtures.golden_nodes().to_pylist())
+    # a blob whose decompressed size exceeds the 32 MiB bound must raise
+    big = lzma.compress(b"\x00" * (pbf.MAX_BLOB_MESSAGE_SIZE + 1))
+    with pytest.raises(ValueError, match="exceeds max uncompressed size"):
+        pbf.decode_blob(w.field_len(4, big))
 
 
 def test_locations_on_ways_roundtrip(tmp_path):
