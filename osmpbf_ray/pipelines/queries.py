@@ -1958,15 +1958,10 @@ def q_ngram_jaccard_exact(sf_dir: str):
     pairs = joins.partitioned_hash_join(left, right, key="jk")
 
     def jac(batch: pa.Table) -> pa.Table:
-        vals = np.array(
-            [
-                dedup.jaccard(dedup.char_shingle_hashes(str(a), 5),
-                              dedup.char_shingle_hashes(str(b), 5))
-                for a, b in zip(batch.column("text_a").to_pylist(),
-                                batch.column("text_b").to_pylist())
-            ],
-            dtype=np.float64,
-        )
+        # batch-vectorized shingle+intersect, bit-equal to the per-row
+        # kernel (dedup.batch_jaccard)
+        vals = dedup.batch_jaccard(batch.column("text_a"),
+                                   batch.column("text_b"), 5)
         return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
                          "jaccard": pa.array(vals, type=pa.float64())})
 

@@ -39,7 +39,8 @@ from osmpbf_ray.functions.blocks import arrow_clean
 from osmpbf_ray.functions.joins import splitmix_u64
 from osmpbf_ray.stages.ann import vecs_to_numpy
 from osmpbf_ray.stages.image import hamming64
-from osmpbf_ray.stages.text import splitmix64, token_hashes
+from osmpbf_ray.stages.text import (batch_rolling_fingerprints,
+                                    splitmix64, token_hashes)
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -154,6 +155,34 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
+
+
+_SHINGLE_BASE = 1099511628211  # FNV prime, char_shingle_hashes' base
+
+
+def batch_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """Pairwise k-char-shingle Jaccard for ALIGNED text columns —
+    bit-equal to ``jaccard(char_shingle_hashes(a), char_shingle_hashes
+    (b))`` per row, but batch-vectorized: both sides shingle through
+    ONE sliding-window pass each (text.batch_rolling_fingerprints with
+    keep_mod=1 keeps every hash, uniqued per doc), then a single
+    lexsort finds cross-side duplicates per pair (each side is unique,
+    so an adjacent equal (pair, hash) run means both sides hold it)."""
+    pa_idx, ha = batch_rolling_fingerprints(texts_a, window=k, keep_mod=1,
+                                            base=_SHINGLE_BASE)
+    pb_idx, hb = batch_rolling_fingerprints(texts_b, window=k, keep_mod=1,
+                                            base=_SHINGLE_BASE)
+    n = max(len(texts_a), len(texts_b))
+    sizes_a = np.bincount(pa_idx, minlength=n)
+    sizes_b = np.bincount(pb_idx, minlength=n)
+    allp = np.concatenate([pa_idx, pb_idx])
+    allh = np.concatenate([ha, hb])
+    order = np.lexsort((allh, allp))
+    p2, h2 = allp[order], allh[order]
+    dup = (p2[1:] == p2[:-1]) & (h2[1:] == h2[:-1])
+    inter = np.bincount(p2[1:][dup], minlength=n)
+    union = sizes_a + sizes_b - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def _band_hashes(sigs: np.ndarray, n_bands: int) -> np.ndarray:
@@ -811,15 +840,9 @@ def ngram_jaccard_pairs(ds, pairs_ds, id_col="doc_id", text_col="text", k=5,
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
-        jac = np.array(
-            [
-                jaccard(char_shingle_hashes(str(a or ""), k),
-                        char_shingle_hashes(str(b or ""), k))
-                for a, b in zip(batch.column("text_a").to_pylist(),
-                                batch.column("text_b").to_pylist())
-            ],
-            dtype=np.float64,
-        )
+        # batch-vectorized shingle+intersect (bit-equal to the per-row
+        # jaccard(char_shingle_hashes(...)) kernel)
+        jac = batch_jaccard(batch.column("text_a"), batch.column("text_b"), k)
         out = batch.select(["id_a", "id_b"]).append_column(
             "jaccard", pa.array(jac, type=pa.float64())
         )

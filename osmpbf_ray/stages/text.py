@@ -184,7 +184,8 @@ def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> np.nd
     return np.unique(kept) if len(kept) else hashes[:1]
 
 
-def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16
+def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16,
+                               base: int = 257
                                ) -> tuple[np.ndarray, np.ndarray]:
     """Exploded ``(parent_row_index, fingerprint)`` for every text in the
     batch — bit-equal to :func:`rolling_fingerprint` per row, but ONE
@@ -192,7 +193,11 @@ def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16
     (window indices are selected per doc via a segmented arange, so
     cross-document windows never contribute). Python touches only the
     rare sub-``window``-byte docs (crc fallback). Within each doc, kept
-    hashes come out unique-ascending, matching ``np.unique``."""
+    hashes come out unique-ascending, matching ``np.unique``.
+
+    ``keep_mod=1`` keeps EVERY window hash (uniqued per doc) — with a
+    custom ``base`` this is also the batch kernel for k-char shingle
+    sets (dedup.char_shingle_hashes uses the FNV prime base)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if not pa.types.is_string(texts.type):
@@ -212,8 +217,7 @@ def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16
     parts_p: list[np.ndarray] = []
     parts_h: list[np.ndarray] = []
     if long_mask.any():
-        base = np.uint64(257)
-        powers = base ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64
+        powers = np.uint64(base) ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64
         strided = np.lib.stride_tricks.sliding_window_view(
             data, window).astype(np.uint64)
         all_h = splitmix64((strided * powers).sum(axis=1, dtype=np.uint64))

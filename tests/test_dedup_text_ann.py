@@ -381,3 +381,26 @@ def test_pair_payload_join_lazy_path_identical(monkeypatch):
     assert len(ea) > 0
     assert sorted(zip(ea["id_a"], ea["id_b"], ea["cosine"])) == \
         sorted(zip(eb["id_a"], eb["id_b"], eb["cosine"]))
+
+
+def test_batch_jaccard_bit_equal_to_per_row():
+    """The batch shingle+intersect kernel must reproduce the per-row
+    jaccard(char_shingle_hashes) values exactly, including sub-k docs
+    (crc fallback) and identical-set pairs (jaccard 1.0)."""
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "x", "stone", "the quick brown"]
+    ta, tb = [], []
+    for _ in range(200):
+        ka, kb = rng.integers(0, 25), rng.integers(0, 25)
+        ta.append(" ".join(rng.choice(words, ka)) if ka else
+                  rng.choice(["", "ab", "abcd"]))
+        tb.append(" ".join(rng.choice(words, kb)) if kb else
+                  rng.choice(["", "ab", "abcd"]))
+    ta[0] = tb[0] = "identical document text here"  # jaccard exactly 1.0
+    got = dedup.batch_jaccard(pa.array(ta), pa.array(tb), 5)
+    want = np.array([
+        dedup.jaccard(dedup.char_shingle_hashes(a, 5),
+                      dedup.char_shingle_hashes(b, 5))
+        for a, b in zip(ta, tb)])
+    assert np.array_equal(got, want)
+    assert got[0] == 1.0
