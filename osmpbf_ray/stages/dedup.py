@@ -134,18 +134,26 @@ def minhash_signature(shingles: np.ndarray, n_perm: int = 64) -> np.ndarray:
     return (shingles[None, :] ^ seeds[:, None]).min(axis=1)
 
 
-def minhash_signatures(texts: list, k: int = 5, n_perm: int = 64) -> np.ndarray:
+def minhash_signatures(texts, k: int = 5, n_perm: int = 64) -> np.ndarray:
     """(n_docs, n_perm) signature matrix, vectorized across the batch:
-    one flat shingle array + per-permutation segmented ``minimum.reduceat``
-    instead of a per-doc Python minhash loop (the round-1 hot spot)."""
-    sh = [char_shingle_hashes(str(t), k) for t in texts]
-    if not sh:
+    shingling is ONE sliding-window pass over the batch's concatenated
+    UTF-8 buffer (the fingerprint kernel with keep_mod=1 — bit-equal to
+    per-doc ``char_shingle_hashes``), then one segmented
+    ``minimum.reduceat`` per permutation. Accepts an Arrow string
+    column (zero-copy) or any list of values."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([str(t) for t in texts], type=pa.string())
+    n = len(texts)
+    if n == 0:
         return np.empty((0, n_perm), dtype=np.uint64)
-    lens = np.array([len(s) for s in sh], dtype=np.int64)
-    flat = np.concatenate(sh)
-    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    par, flat = batch_rolling_fingerprints(texts, window=k, keep_mod=1,
+                                           base=_SHINGLE_BASE)
+    # every doc emits >= 1 hash (crc fallback), so reduceat offsets are
+    # strictly increasing and cover all docs
+    lens = np.bincount(par, minlength=n)
+    offs = np.r_[0, np.cumsum(lens)[:-1]]
     seeds = _MINHASH_SEEDS[:n_perm]
-    sigs = np.empty((len(sh), n_perm), dtype=np.uint64)
+    sigs = np.empty((n, n_perm), dtype=np.uint64)
     for p in range(n_perm):
         sigs[:, p] = np.minimum.reduceat(flat ^ seeds[p], offs)
     return sigs
@@ -210,7 +218,7 @@ class MinHashStage:
         self.k, self.n_perm, self.n_bands = k, n_perm, n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
+        texts = batch.column(self.text_col)
         sigs = minhash_signatures(texts, self.k, self.n_perm)
         bh = _band_hashes(sigs, self.n_bands) if len(texts) else np.empty((0, self.n_bands), np.int64)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
@@ -477,7 +485,7 @@ def minhash_candidate_pairs(ds, id_col="doc_id", text_col="text",
         return rd.from_arrow(empty)
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        sigs = minhash_signatures(batch.column(text_col).to_pylist(), k, n_perm)
+        sigs = minhash_signatures(batch.column(text_col), k, n_perm)
         return pa.table({id_col: batch.column(id_col),
                          "sig": pa.array([s.tobytes() for s in sigs], type=pa.binary())})
 
