@@ -211,6 +211,27 @@ def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16,
     dbuf = texts.buffers()[2]
     data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
             else np.empty(0, np.uint8))
+    # memory bound: the window hash materializes a (bytes × window)
+    # uint64 intermediate — 64× the text at window 8. A default Ray
+    # block can hold ~128 MiB of text, which would blow up to GBs in
+    # one shot; process contiguous DOC RANGES of ≤ ~1 MiB instead (the
+    # per-chunk intermediate stays ~64 MiB; single oversized docs still
+    # process whole — a document is the atomic unit).
+    _CHUNK = 1 << 20
+    if n > 1 and off[-1] - off[0] > _CHUNK:
+        parts_p: list[np.ndarray] = []
+        parts_h: list[np.ndarray] = []
+        start = 0
+        while start < n:
+            end = start + 1
+            while end < n and off[end + 1] - off[start] <= _CHUNK:
+                end += 1
+            cp, ch = batch_rolling_fingerprints(
+                texts.slice(start, end - start), window, keep_mod, base)
+            parts_p.append(cp + start)
+            parts_h.append(ch)
+            start = end
+        return np.concatenate(parts_p), np.concatenate(parts_h)
     lens = np.diff(off)
     nwin = np.maximum(lens - window + 1, 0)
     long_mask = lens >= window
