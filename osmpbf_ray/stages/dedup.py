@@ -143,9 +143,22 @@ def minhash_signatures(texts, k: int = 5, n_perm: int = 64) -> np.ndarray:
     column (zero-copy) or any list of values."""
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
         texts = pa.array([str(t) for t in texts], type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
     n = len(texts)
     if n == 0:
         return np.empty((0, n_perm), dtype=np.uint64)
+    # memory bound: the flat shingle array is ~8 B per text byte and
+    # each permutation pass allocates a same-sized temp — chunk doc
+    # ranges so a default-size Ray text block never holds a GB-scale
+    # intermediate (signatures are per-doc, so chunking is exact)
+    _CHUNK_BYTES = 8 << 20
+    if n > 1 and texts.nbytes > _CHUNK_BYTES:
+        n_chunks = -(-texts.nbytes // _CHUNK_BYTES)
+        step = -(-n // n_chunks)
+        return np.vstack([
+            minhash_signatures(texts.slice(s, min(step, n - s)), k, n_perm)
+            for s in range(0, n, step)])
     par, flat = batch_rolling_fingerprints(texts, window=k, keep_mod=1,
                                            base=_SHINGLE_BASE)
     # every doc emits >= 1 hash (crc fallback), so reduceat offsets are
