@@ -286,6 +286,12 @@ BENCH_QUERIES = [
     "ntile_price_quartiles",
     "rank_latest_orders",
     "left_join_lineitems",
+    # round-5 late additions: grouped aggregates beyond folds
+    "string_agg_nations",
+    "mode_event_type",
+    "histogram_prices",
+    "corr_moments",
+    "way_bbox",
     "hash_sample",
 ]
 

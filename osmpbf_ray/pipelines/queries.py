@@ -2086,6 +2086,110 @@ def q_flagship(sf_dir: str):
     return res["joined"].select_columns(["image_id", "poly_id", "phash", "decode_error"])
 
 
+# --- grouped aggregates beyond folds (functions/aggregates.py) --------------
+
+
+def q_string_agg_nations(sf_dir: str):
+    """Grouped ORDERED string concatenation (SQL string_agg ... ORDER
+    BY): supplier names per nation, comma-joined in s_suppkey order —
+    hash-partitioned, one lexsort + one arrow binary_join kernel per
+    partition, no per-row Python (functions/aggregates.py)."""
+    from osmpbf_ray.functions import aggregates
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("s_nationkey"),
+                            "s_nationkey",
+                            b.column("s_nationkey").cast(pa.int64()))
+
+    sup = sup.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    return aggregates.grouped_string_agg(
+        sup, "s_nationkey", "s_name", order_cols=["s_suppkey"],
+        sep=",", out_col="names")
+
+
+def q_mode_event_type(sf_dir: str):
+    """Grouped MODE (most-frequent value, ties → smallest value): the
+    dominant event_type per user. Map-side pair-count partials collapse
+    each batch before the one hash exchange — the categorical-label
+    consolidation op of corpus curation (functions/aggregates.py)."""
+    from osmpbf_ray.functions import aggregates
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return aggregates.grouped_mode(ev, "user_id", "event_type")
+
+
+def q_histogram_prices(sf_dir: str):
+    """Fixed-bin integer histogram of order totalprice in cents
+    ($50k-wide buckets): one np.bincount partial per batch, an O(n_bins)
+    exchange regardless of input size (functions/aggregates.py)."""
+    from osmpbf_ray.functions import aggregates
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(np.round(
+            b.column("o_totalprice").to_numpy() * 100).astype(np.int64))})
+
+    cents = orders.map_batches(to_cents, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return aggregates.fixed_histogram(cents, "cents", lo=0,
+                                      width=5_000_000, n_bins=16)
+
+
+def q_corr_moments(sf_dir: str):
+    """Exact integer co-moments of (quantity, discount_bp) per
+    returnflag — the mergeable sufficient statistics of distributed
+    corr/cov/OLS, kept INTEGER so the cross-block sum is
+    order-independent and bit-reproducible where a streaming float
+    corr() is not (functions/aggregates.py)."""
+    from osmpbf_ray.functions import aggregates
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pa.array(np.round(
+                b.column("l_quantity").to_numpy()).astype(np.int64)),
+            "bp": pa.array(np.round(
+                b.column("l_discount").to_numpy() * 10000).astype(np.int64)),
+        })
+
+    ds = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return aggregates.grouped_comoments(ds, "l_returnflag", "qty", "bp")
+
+
+def q_way_bbox(sf_dir: str):
+    """Per-way bounding box + vertex count over the resolved way
+    geometry (the extent/validity op after the FK join): map-side
+    segment min/max partials, then one mergeable groupby — raw node
+    coordinates never shuffle twice (functions/aggregates.py; geometry
+    resolution as in q_way_geometry / reference elements.rs:194-199)."""
+    from osmpbf_ray.functions import aggregates
+
+    path = _way_fixture_pbf(sf_dir)
+    ways = pbf.read_pbf_ways(path)
+
+    def part_nodes(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy()
+        nano_lat = (((pk * 9301 + 49297) % 120000) * 10000 - 600000000) * 100
+        nano_lon = (((pk * 7901 + 1237) % 360000) * 10000 - 1800000000) * 100
+        return pa.table(
+            {"id": pa.array(pk, type=pa.int64()),
+             "nano_lat": pa.array(nano_lat, type=pa.int64()),
+             "nano_lon": pa.array(nano_lon, type=pa.int64())}
+        )
+
+    nodes = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        part_nodes, batch_format="pyarrow", zero_copy_batch=True
+    )
+    geom = joins.resolve_way_locations(ways, nodes, n_buckets=32)
+    return aggregates.grouped_bbox(geom, "way_id", "nano_lat", "nano_lon")
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -2108,6 +2212,13 @@ def queries() -> dict:
         "flagship": q_flagship,
         "audio_features_mulaw": q_audio_features_mulaw,
         "video_frame_stats_zlib": q_video_frame_stats_zlib,
+        # NEW grouped aggregates (functions/aggregates.py) — never
+        # driver-verified before, so they lead the sample
+        "string_agg_nations": q_string_agg_nations,
+        "mode_event_type": q_mode_event_type,
+        "histogram_prices": q_histogram_prices,
+        "corr_moments": q_corr_moments,
+        "way_bbox": q_way_bbox,
         # changed-this-round paths
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
@@ -2967,6 +3078,39 @@ def oracle_sql() -> dict:
             "FROM win GROUP BY audio_id, w"
         )
 
+    sql["string_agg_nations"] = (
+        "SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+        "string_agg(s_name, ',' ORDER BY s_suppkey) AS names "
+        "FROM supplier GROUP BY s_nationkey"
+    )
+    sql["mode_event_type"] = (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+        "FROM events GROUP BY user_id, event_type) "
+        "SELECT user_id, event_type AS mode, CAST(cnt AS BIGINT) AS n FROM c "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY cnt DESC, event_type) = 1"
+    )
+    sql["histogram_prices"] = (
+        "SELECT cents // 5000000 AS bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents "
+        "FROM orders) WHERE cents >= 0 AND cents < 80000000 GROUP BY 1"
+    )
+    sql["corr_moments"] = (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(SUM(qty) AS BIGINT) AS sum_x, CAST(SUM(bp) AS BIGINT) AS sum_y, "
+        "CAST(SUM(qty*qty) AS BIGINT) AS sum_xx, "
+        "CAST(SUM(bp*bp) AS BIGINT) AS sum_yy, "
+        "CAST(SUM(qty*bp) AS BIGINT) AS sum_xy "
+        "FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty, "
+        "CAST(round(l_discount*10000) AS BIGINT) AS bp FROM lineitem) "
+        "GROUP BY l_returnflag"
+    )
+    sql["way_bbox"] = (
+        "WITH wg AS (" + sql["way_geometry"] + ") "
+        "SELECT way_id, min(nano_lat) AS min_lat, max(nano_lat) AS max_lat, "
+        "min(nano_lon) AS min_lon, max(nano_lon) AS max_lon, "
+        "CAST(count(*) AS BIGINT) AS n_pts FROM wg GROUP BY way_id"
+    )
     sql["audio_features"] = _audio_feat_sql(_synth_audio_path(), compand=False)
     sql["audio_features_mulaw"] = _audio_feat_sql(_synth_audio_mulaw_path(),
                                                   compand=True)
