@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "histogram_prices",
     "corr_moments",
     "way_bbox",
+    "intersect_orders",
+    "percent_rank_qty",
     "hash_sample",
 ]
 

@@ -216,3 +216,62 @@ def stratified_sample(ds, group_col: str, k: int, id_col: str,
                        tiebreak=id_col, n_parts=n_parts, precombine=True)
     return top.map_batches(lambda b: b.drop_columns(["__h"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_percent_rank(ds, group_col: str, order_col: str,
+                         ascending: bool = True, n_parts: int | None = None,
+                         out_pr: str = "pr", out_cd: str = "cd"):
+    """SQL ``percent_rank()`` and ``cume_dist()`` OVER (PARTITION BY g
+    ORDER BY v) — every row annotated with its relative rank
+    ``(rank-1)/(n-1)`` (0 for single-row groups) and cumulative
+    distribution ``rows_with_v<=mine / n``. Ties share a rank exactly as
+    SQL's (rank counts rows strictly ahead; cume_dist counts through the
+    end of the tie run).
+
+    Same scale shape as :func:`grouped_topk`: one hash exchange, one
+    lexsort + tie-run segment arithmetic per partition. Both outputs are
+    IEEE divisions of exact integers, so they are bit-identical to any
+    SQL engine computing the same definition."""
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
+
+    def add_gkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, group_col, n_parts, out_col="__gkey")
+
+    def final(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["__gkey"])
+        if t.num_rows == 0:
+            return (t.append_column(out_pr, pa.array([], pa.float64()))
+                     .append_column(out_cd, pa.array([], pa.float64())))
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        if g.dtype.kind in "OUS":
+            _, g = np.unique(g.astype(str), return_inverse=True)
+        v = _order_key(t.column(order_col), ascending)
+        order = np.lexsort([v, g])
+        t = t.take(pa.array(order))
+        gs, vs = g[order], v[order]
+        m = len(gs)
+        gchange = np.r_[True, gs[1:] != gs[:-1]]
+        starts = np.flatnonzero(gchange)
+        lens = np.diff(np.r_[starts, m])
+        seg_start = np.repeat(starts, lens)
+        pos = np.arange(m, dtype=np.int64) - seg_start
+        L = np.repeat(lens, lens)
+        # tie runs: a new run at each group change or value change
+        runstart = gchange | np.r_[True, vs[1:] != vs[:-1]]
+        run_first = np.maximum.accumulate(
+            np.where(runstart, np.arange(m), 0))
+        rank = run_first - seg_start + 1  # SQL rank() with ties
+        ridx = np.flatnonzero(runstart)
+        rlen = np.diff(np.r_[ridx, m])
+        run_end_pos = (run_first + np.repeat(rlen, rlen)) - seg_start
+        pr = np.where(L > 1, (rank - 1) / np.maximum(L - 1, 1), 0.0)
+        cd = run_end_pos / L
+        return (t.append_column(out_pr, pa.array(pr))
+                 .append_column(out_cd, pa.array(cd)))
+
+    return (
+        ds.map_batches(add_gkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__gkey")
+        .map_groups(final, batch_format="pyarrow")
+    )

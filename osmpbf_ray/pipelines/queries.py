@@ -2190,6 +2190,66 @@ def q_way_bbox(sf_dir: str):
     return aggregates.grouped_bbox(geom, "way_id", "nano_lat", "nano_lon")
 
 
+def q_intersect_orders(sf_dir: str):
+    """SQL INTERSECT over order keys (high-price ∩ urgent): both sides
+    collapse map-side to batch-distinct tagged keys, ONE hash exchange
+    ORs the tags — no broadcast, either side may be huge
+    (functions/setops.py)."""
+    from osmpbf_ray.functions import setops
+
+    hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 150000.0))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return setops.key_set_op(hi, urgent, key="o_orderkey", op="intersect")
+
+
+def q_except_orders(sf_dir: str):
+    """SQL EXCEPT over order keys (high-price ∖ urgent) — same tagged
+    single-exchange shape as q_intersect_orders (functions/setops.py)."""
+    from osmpbf_ray.functions import setops
+
+    hi = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 150000.0))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return setops.key_set_op(hi, urgent, key="o_orderkey", op="except")
+
+
+def q_percent_rank_qty(sf_dir: str):
+    """percent_rank() + cume_dist() per order over line quantities —
+    tie-heavy on purpose (quantities are small integers), so the shared
+    tie-run rank and through-the-run cume_dist are both exercised. IEEE
+    divisions of exact integers: bit-equal to the SQL twin
+    (functions/ranking.py:grouped_percent_rank)."""
+    from osmpbf_ray.functions import ranking
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    out = ranking.grouped_percent_rank(li, "l_orderkey", "l_quantity",
+                                       out_pr="pr", out_cd="cd")
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber").cast(pa.int64()),
+            "qty": pa.array(np.round(
+                b.column("l_quantity").to_numpy()).astype(np.int64)),
+            "pr": b.column("pr"),
+            "cd": b.column("cd"),
+        })
+
+    return out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -2219,6 +2279,9 @@ def queries() -> dict:
         "histogram_prices": q_histogram_prices,
         "corr_moments": q_corr_moments,
         "way_bbox": q_way_bbox,
+        "intersect_orders": q_intersect_orders,
+        "except_orders": q_except_orders,
+        "percent_rank_qty": q_percent_rank_qty,
         # changed-this-round paths
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
@@ -3110,6 +3173,23 @@ def oracle_sql() -> dict:
         "SELECT way_id, min(nano_lat) AS min_lat, max(nano_lat) AS max_lat, "
         "min(nano_lon) AS min_lon, max(nano_lon) AS max_lon, "
         "CAST(count(*) AS BIGINT) AS n_pts FROM wg GROUP BY way_id"
+    )
+    sql["intersect_orders"] = (
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000 "
+        "INTERSECT SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'"
+    )
+    sql["except_orders"] = (
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000 "
+        "EXCEPT SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'"
+    )
+    sql["percent_rank_qty"] = (
+        "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "CAST(round(l_quantity) AS BIGINT) AS qty, "
+        "percent_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS pr, "
+        "cume_dist() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS cd "
+        "FROM lineitem"
     )
     sql["audio_features"] = _audio_feat_sql(_synth_audio_path(), compand=False)
     sql["audio_features_mulaw"] = _audio_feat_sql(_synth_audio_mulaw_path(),
