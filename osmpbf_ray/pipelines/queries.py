@@ -48,6 +48,13 @@ from osmpbf_ray.stages.image import ImageDecoder
 
 _CACHE_DIR = "/tmp/osmpbf_ray_cache"
 
+# customer tables up to this many rows are read driver-side in
+# q_local_supplier_revenue (exact keyset + map-side nationkey attach →
+# ONE fact exchange); larger tables take the distributed-Bloom +
+# second-partitioned-join path. Patched to 0 in tests to force the
+# large path.
+_CUST_KEYSET_MAX_ROWS = 2_000_000
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     """Column-pruned streaming read (only requested columns leave storage).
@@ -1525,13 +1532,17 @@ def q_local_supplier_revenue(sf_dir: str):
     """TPC-H Q5-shaped multi-join composite: revenue per nation from
     orders where the customer and supplier share an ASIA nation.
     Star-schema shape at scale — dimension tables (region, nation,
-    supplier) broadcast map-side; the FACT joins (lineitem⋈orders on
-    orderkey, ⋈customer on custkey) run as partitioned hash joins with
-    EXPLICIT schemas threaded through (a lazy join's .schema() would
-    re-execute its first exchange); the c_nationkey = s_nationkey
-    filter and the per-nation partial aggregation happen map-side
-    before one tiny final groupby. Money is exact integer micro-cents
-    (cents × (10000 − discount_bp)), summed with an int64 accumulator."""
+    supplier) broadcast map-side. When the customer table is small
+    enough to read driver-side, the ASIA custkey→nationkey map attaches
+    c_nationkey to orders MAP-SIDE, so the whole query runs with ONE
+    fact exchange (lineitem⋈orders on orderkey); above the size gate the
+    ⋈customer-on-custkey leg falls back to a second partitioned hash
+    join after a distributed-Bloom semi-filter. Explicit schemas are
+    threaded through (a lazy join's .schema() would re-execute its first
+    exchange); the c_nationkey = s_nationkey filter and the per-nation
+    partial aggregation happen map-side before one tiny final groupby.
+    Money is exact integer micro-cents (cents × (10000 − discount_bp)),
+    summed with an int64 accumulator."""
     region = pq.read_table(f"{sf_dir}/region.parquet")
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     rkeys = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
@@ -1591,56 +1602,76 @@ def q_local_supplier_revenue(sf_dir: str):
         n_cust = cust_src._meta_count()
     except Exception:
         n_cust = None
-    if n_cust is not None and n_cust <= 2_000_000:
+    if n_cust is not None and n_cust <= _CUST_KEYSET_MAX_ROWS:
         ct = pq.read_table(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
         ct = ct.filter(pc.is_in(ct["c_nationkey"].cast(pa.int64()),
                                 value_set=nat_ids))
-        keys = np.sort(ct["c_custkey"].to_numpy().astype(np.int64))
-        filt_ref = ray.put(("exact", keys))
+        ck = ct["c_custkey"].to_numpy().astype(np.int64)
+        order = np.argsort(ck)
+        keys = ck[order]
+        cnat = ct["c_nationkey"].to_numpy().astype(np.int64)[order]
+        # the keyset is the whole customer⋈nation join for ASIA rows —
+        # attaching c_nationkey map-side here makes the second fact
+        # exchange (⋈customer on custkey) unnecessary entirely
+        filt_ref = ray.put(("exact", keys, cnat))
     else:
         cust_asia = cust_src.map_batches(
             lambda b: b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
                                         value_set=nat_ids)),
             batch_format="pyarrow")
         filt_ref = ray.put(("bloom", sketch.bloom_from_ds(cust_asia, "c_custkey")))
+    exact_path = ray.get(filt_ref)[0] == "exact"
 
     def cust_filt(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        kind, payload = ray.get(filt_ref)
+        payload = ray.get(filt_ref)
         vals = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        if kind == "exact":
-            pos = np.searchsorted(payload, vals)
-            keep = (pos < len(payload)) & (payload[np.minimum(pos, len(payload) - 1)] == vals)
-        else:
-            keep = sketch.bloom_contains(payload, vals)
+        if payload[0] == "exact":
+            _, keyset, cnat = payload
+            pos = np.searchsorted(keyset, vals)
+            safe = np.minimum(pos, len(keyset) - 1)
+            keep = (pos < len(keyset)) & (keyset[safe] == vals)
+            # 1:1 attach (custkey is unique): the whole customer join
+            # happens here, map-side — no second fact exchange
+            return pa.table({
+                "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "c_nationkey": pa.array(cnat[safe[keep]]),
+            })
+        keep = sketch.bloom_contains(payload[1], vals)
         return batch.filter(pa.array(keep))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         cust_filt, batch_format="pyarrow", zero_copy_batch=True)
-    orders_schema = pa.schema([("o_orderkey", pa.int64()),
-                               ("o_custkey", pa.int64())])
-    j1 = joins.partitioned_hash_join(li2, orders, key="o_orderkey",
-                                     left_schema=li2_schema,
-                                     right_schema=orders_schema)
-    j1_schema = pa.schema(list(li2_schema) + [pa.field("o_custkey", pa.int64())])
+    if exact_path:
+        orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                                   ("c_nationkey", pa.int64())])
+        j2 = joins.partitioned_hash_join(li2, orders, key="o_orderkey",
+                                         left_schema=li2_schema,
+                                         right_schema=orders_schema)
+    else:
+        orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64())])
+        j1 = joins.partitioned_hash_join(li2, orders, key="o_orderkey",
+                                         left_schema=li2_schema,
+                                         right_schema=orders_schema)
+        j1_schema = pa.schema(list(li2_schema) + [pa.field("o_custkey", pa.int64())])
 
-    # the customer exchange side likewise carries only ASIA customers —
-    # non-ASIA rows can never satisfy c_nationkey = s_nationkey
-    def cust_prep(b: pa.Table) -> pa.Table:
-        f = b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
-                              value_set=nat_ids))
-        return pa.table({"o_custkey": f.column("c_custkey"),
-                         "c_nationkey": f.column("c_nationkey").cast(pa.int64())})
+        # the customer exchange side likewise carries only ASIA
+        # customers — non-ASIA rows can never satisfy
+        # c_nationkey = s_nationkey
+        def cust_prep(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.is_in(b.column("c_nationkey").cast(pa.int64()),
+                                  value_set=nat_ids))
+            return pa.table({"o_custkey": f.column("c_custkey"),
+                             "c_nationkey": f.column("c_nationkey").cast(pa.int64())})
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        cust_prep, batch_format="pyarrow")
-    cust_schema = pa.schema([("o_custkey", pa.int64()),
-                             ("c_nationkey", pa.int64())])
-    j2 = joins.partitioned_hash_join(j1, cust, key="o_custkey",
-                                     left_schema=j1_schema,
-                                     right_schema=cust_schema)
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_prep, batch_format="pyarrow")
+        cust_schema = pa.schema([("o_custkey", pa.int64()),
+                                 ("c_nationkey", pa.int64())])
+        j2 = joins.partitioned_hash_join(j1, cust, key="o_custkey",
+                                         left_schema=j1_schema,
+                                         right_schema=cust_schema)
 
     def finish(batch: pa.Table) -> pa.Table:
         empty = pa.table({"n_name": pa.array([], pa.string()),

@@ -122,3 +122,18 @@ def test_grouped_topk_matches_pandas_and_paths():
                                ascending=True, tiebreak="id").to_pandas()
     exp_min = t.to_pandas().sort_values(["v", "id"]).groupby("g").head(1)
     assert set(zip(asc["g"], asc["id"])) == set(zip(exp_min["g"], exp_min["id"]))
+
+
+def test_local_supplier_revenue_bloom_path_identical(monkeypatch):
+    """Size gate: forcing the customer keyset above the driver-read
+    bound must route orders through the distributed-Bloom semi-filter +
+    second partitioned join and produce identical revenue rows."""
+    a = _to_df(q.q_local_supplier_revenue(SF))
+    monkeypatch.setattr(q, "_CUST_KEYSET_MAX_ROWS", 0)
+    b = _to_df(q.q_local_supplier_revenue(SF))
+    key = ["n_name"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    assert len(a) > 0
