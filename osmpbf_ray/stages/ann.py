@@ -7,6 +7,11 @@ batch computes a (batch × queries) matmul and emits only its local top-k
 per query (partial), so the final reduce sees #batches × k rows, not the
 table. That is the same partial+final contract as the reference's
 par_map_reduce (/root/reference/src/reader.rs:119-142).
+
+All stages run as ELASTIC TASKS with once-per-worker cached state
+(``_task_stage``): their setup is microseconds, so an actor pool would
+pay seconds of spin-up for nothing. The ``concurrency`` parameters are
+retained for API compatibility and ignored.
 """
 
 from __future__ import annotations
@@ -20,6 +25,26 @@ import pyarrow.compute as pc
 import ray
 
 from osmpbf_ray.functions.blocks import arrow_clean
+# module-top import: workercache is used inside WORKER-executed task
+# bodies, where runtime `from osmpbf_ray...` imports fail under
+# pickle-by-value when the driver cwd can't import the package
+from osmpbf_ray.state import workercache
+
+
+def _task_stage(cls, key_extra, **ctor):
+    """Run a stage class as ELASTIC TASKS with once-per-worker state
+    (workercache) instead of an actor pool: these stages' setup is a
+    ``ray.get`` of a broadcast ref plus a normalize — microseconds —
+    while a ``concurrency=(1, 4)`` actor pool costs seconds of spin-up
+    per query, dominating sub-second kernels. Tasks also scale to
+    whatever CPUs are free instead of the pool's fixed cap."""
+    key = (cls.__name__, *key_extra)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return workercache.cached(key, lambda: cls(**ctor))(batch)
+
+    fn.__name__ = cls.__name__
+    return fn
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -101,12 +126,10 @@ def brute_force_topk(ds, query_ids, query_vecs, k=10, id_col="vec_id",
     reduce (groupby over ≤ #batches×k rows)."""
     ref = ray.put((np.asarray(query_ids), np.asarray(query_vecs, dtype=np.float64)))
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
+        _task_stage(BruteForceTopK, (ref.hex(), k, id_col, vec_col),
+                    queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
-        max_restarts=0,
     )
 
     def final(g: pd.DataFrame):
@@ -272,12 +295,10 @@ def ivf_build(ds, index_dir: str, n_centroids: int = 16,
     cent = _train_from_ds(ds, vec_col, n_centroids, sample_size, seed)
     cent_ref = ray.put(cent)
     assigned = ds.map_batches(
-        IvfAssignStage,
-        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        _task_stage(IvfAssignStage, (cent_ref.hex(), vec_col),
+                    centroids_ref=cent_ref, vec_col=vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
-        max_restarts=0,
     )
     assigned.write_parquet(lists_dir, partition_cols=["ivf_list"])
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
@@ -309,13 +330,12 @@ def ivf_search(index_dir: str, query_ids, query_vecs, k: int = 10,
     )
     probe_ref = ray.put((np.asarray(query_ids), q, probe_map))
     partials = ds.map_batches(
-        ProbedTopK,
-        fn_constructor_kwargs=dict(probe_ref=probe_ref, k=k, id_col=id_col,
-                                   vec_col=vec_col, counter=scan_counter),
+        _task_stage(ProbedTopK,
+                    (probe_ref.hex(), k, id_col, vec_col, str(scan_counter)),
+                    probe_ref=probe_ref, k=k, id_col=id_col,
+                    vec_col=vec_col, counter=scan_counter),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
-        max_restarts=0,
     )
     return _topk_final(partials, k, id_col)
 
@@ -338,23 +358,20 @@ def ivf_topk(ds, query_ids, query_vecs, k=10, n_centroids=16, n_probe=4,
     cent_ref = ray.put(cent)
 
     assigned = ds.map_batches(
-        IvfAssignStage,
-        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        _task_stage(IvfAssignStage, (cent_ref.hex(), vec_col),
+                    centroids_ref=cent_ref, vec_col=vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
-        max_restarts=0,
     )
 
     q, probe_map = _probe_plan(cent, query_ids, query_vecs, n_probe)
     probe_ref = ray.put((np.asarray(query_ids), q, probe_map))
     partials = assigned.map_batches(
-        ProbedTopK,
-        fn_constructor_kwargs=dict(probe_ref=probe_ref, k=k, id_col=id_col,
-                                   vec_col=vec_col, counter=scan_counter),
+        _task_stage(ProbedTopK,
+                    (probe_ref.hex(), k, id_col, vec_col, str(scan_counter)),
+                    probe_ref=probe_ref, k=k, id_col=id_col,
+                    vec_col=vec_col, counter=scan_counter),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
-        max_restarts=0,
     )
     return _topk_final(partials, k, id_col)
