@@ -25,26 +25,10 @@ import pyarrow.compute as pc
 import ray
 
 from osmpbf_ray.functions.blocks import arrow_clean
-# module-top import: workercache is used inside WORKER-executed task
+# module-top import: the wrapper runs inside WORKER-executed task
 # bodies, where runtime `from osmpbf_ray...` imports fail under
 # pickle-by-value when the driver cwd can't import the package
-from osmpbf_ray.state import workercache
-
-
-def _task_stage(cls, key_extra, **ctor):
-    """Run a stage class as ELASTIC TASKS with once-per-worker state
-    (workercache) instead of an actor pool: these stages' setup is a
-    ``ray.get`` of a broadcast ref plus a normalize — microseconds —
-    while a ``concurrency=(1, 4)`` actor pool costs seconds of spin-up
-    per query, dominating sub-second kernels. Tasks also scale to
-    whatever CPUs are free instead of the pool's fixed cap."""
-    key = (cls.__name__, *key_extra)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        return workercache.cached(key, lambda: cls(**ctor))(batch)
-
-    fn.__name__ = cls.__name__
-    return fn
+from osmpbf_ray.state.workercache import task_stage as _task_stage
 
 
 def _unit(m: np.ndarray) -> np.ndarray:

@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 
 from osmpbf_ray.stages.ann import round_half_away
+from osmpbf_ray.state.workercache import task_stage
 
 PCM_CODEC = "pcm_s16le"
 MULAW_CODEC = "mulaw_u8"
@@ -197,11 +198,9 @@ def audio_features(ds, window: int, concurrency=(1, 4), batch_size: int = 64,
     ``batch_size`` by default — binary payloads are wide, so batch ×
     concurrency must fit a worker heap (the multimodal sizing rule)."""
     return ds.map_batches(
-        AudioFeatures,
-        fn_constructor_kwargs=dict(window=window, id_col=id_col, pcm_col=pcm_col),
+        task_stage(AudioFeatures, (window, id_col, pcm_col),
+                   window=window, id_col=id_col, pcm_col=pcm_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        max_restarts=0,  # pool replaces dead actors; in-place restart is unreliable with object-store ctor args
     )

@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from osmpbf_ray.state.workercache import task_stage
+
 # hoisted: these run inside Ray workers (runtime osmpbf_ray imports in
 # worker-executed bodies fail when the driver cwd can't import the
 # package — pickle-by-value does not cover runtime imports)
@@ -227,24 +229,19 @@ def frame_stats(ds, concurrency=(1, 4), batch_size: int = 32,
     frames are the widest payload in the engine (multimodal sizing
     rule: batch × concurrency must fit a worker heap)."""
     return ds.map_batches(
-        VideoFrameStats,
-        fn_constructor_kwargs=dict(id_col=id_col),
+        task_stage(VideoFrameStats, (id_col,), id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        max_restarts=0,
     )
 
 
 def frame_sample(ds, every_k: int, concurrency=(1, 4), batch_size: int = 32,
                  id_col: str = "video_id"):
     return ds.map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs=dict(every_k=every_k, id_col=id_col),
+        task_stage(FrameSampleStage, (every_k, id_col),
+                   every_k=every_k, id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        max_restarts=0,
     )

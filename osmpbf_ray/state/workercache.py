@@ -20,3 +20,20 @@ def cached(key, build):
         _CACHE["key"] = key
         _CACHE["value"] = build()
     return _CACHE["value"]
+
+
+def task_stage(cls, key_extra: tuple, **ctor):
+    """Wrap a callable stage CLASS as a plain function for elastic-task
+    ``map_batches``, building the instance once per worker process via
+    :func:`cached`. Use when per-instance setup is cheap (a broadcast
+    ``ray.get``, a few constants): an actor pool would pay seconds of
+    spin-up per pipeline for state that costs microseconds to rebuild,
+    and tasks scale to free CPUs instead of the pool's fixed cap. Keep
+    actor pools for stages whose setup is genuinely expensive."""
+    key = (cls.__name__, *key_extra)
+
+    def fn(batch):
+        return cached(key, lambda: cls(**ctor))(batch)
+
+    fn.__name__ = cls.__name__
+    return fn

@@ -337,7 +337,17 @@ def test_ivf_clustered_layout_prunes_scan(tmp_path):
     pruned = ann.ivf_search(index_dir, np.arange(3), qv, k=5, n_probe=2,
                             concurrency=2, scan_counter=counter).to_pandas()
     assert len(pruned) > 0
-    scanned = ray.get(counter.get.remote())
+    # the stage's add.remote() calls are fire-and-forget from elastic
+    # task workers — poll until the count settles (two consecutive
+    # equal non-zero reads) before asserting, or a late delivery makes
+    # this flaky under load
+    import time
+
+    scanned, prev = ray.get(counter.get.remote()), -1
+    deadline = time.time() + 10
+    while (scanned == 0 or scanned != prev) and time.time() < deadline:
+        time.sleep(0.2)
+        prev, scanned = scanned, ray.get(counter.get.remote())
     assert 0 < scanned < n, f"expected a pruned scan, saw {scanned}/{n} rows"
 
     # a second build into the same dir must refuse (append would
