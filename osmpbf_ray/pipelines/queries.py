@@ -1155,8 +1155,9 @@ def q_simhash_pairs(sf_dir: str):
     these vocab-similar synthetic docs collapse (≈30% of ALL pairs
     match), which is a property of the corpus, not a dedup signal."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(dedup.SimHashStage, batch_format="pandas",
-                            concurrency=_conc(), max_restarts=0)
+    # stateless stage → elastic tasks (an actor pool would pay seconds
+    # of spin-up for a constructor that stores one string)
+    hashed = ds.map_batches(dedup.SimHashStage(), batch_format="pandas")
     return dedup.hamming_near_dup_pairs(hashed, "simhash", "doc_id", max_dist=6)
 
 
@@ -1314,9 +1315,12 @@ def q_image_decode(sf_dir: str):
     the hash compare. Reads the same fixed twin as ``phash_dedup`` so
     the oracle input is one well-defined file."""
     images = rd.read_parquet(_synth_images_path())
+    # one-shot decode over the small fixed twin: elastic tasks with a
+    # per-worker cached decoder (the flagship pipeline, which decodes
+    # 800k rows in one sustained stage, keeps its actor pool)
     decoded = images.map_batches(
-        ImageDecoder, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=64, concurrency=_conc(), max_restarts=0,
+        workercache.task_stage(ImageDecoder, ()),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=64,
     )
     return decoded.select_columns(["image_id", "phash", "phash_decoded", "decode_error"])
 
@@ -1881,8 +1885,7 @@ def q_knn_join_geo_kring(sf_dir: str):
     tested in pytest."""
     pts = _customer_points(sf_dir)
     sk, rlat, rlon = _supplier_ref_points(sf_dir)
-    out = sj.knn_join(pts, sk, rlat, rlon, k=3, z=5, concurrency=_conc(),
-                      metric="planar_deg")
+    out = sj.knn_join(pts, sk, rlat, rlon, k=3, z=5, metric="planar_deg")
     return sj.explode_knn(out, id_col="c_custkey")
 
 
@@ -1941,13 +1944,10 @@ def q_image_resize(sf_dir: str):
 
     images = rd.read_parquet(_synth_images_path())
     out = images.map_batches(
-        ImageResizeStage,
-        fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+        workercache.task_stage(ImageResizeStage, (16, 16), out_h=16, out_w=16),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=64,
-        concurrency=_conc(8),
-        max_restarts=0,
     )
     return out.select_columns(["image_id", "thumb_w", "thumb_h", "mass_resid", "decode_error"])
 

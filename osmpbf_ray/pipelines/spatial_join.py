@@ -427,17 +427,32 @@ class KnnStage:
 
 
 def knn_join(points_ds, ref_ids, ref_lat, ref_lon, k: int = 5, z: int = 9,
-             concurrency=(1, 4), metric: str = "haversine"):
+             concurrency=None, metric: str = "haversine"):
+    """``concurrency=None`` (default) runs as elastic tasks with the
+    CellPointIndex cached once per worker process (same rationale as
+    :func:`spatial_join`); pass an int/tuple to pin an actor pool when
+    the reference set is large enough that a strictly-once-per-actor
+    build matters."""
     ref = ray.put((np.asarray(ref_ids), np.asarray(ref_lat), np.asarray(ref_lon)))
-    return points_ds.map_batches(
-        KnnStage,
-        fn_constructor_kwargs={"ref_points_ref": ref, "k": k, "z": z,
-                               "metric": metric},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        max_restarts=0,
-    )
+    if concurrency is not None:
+        return points_ds.map_batches(
+            KnnStage,
+            fn_constructor_kwargs={"ref_points_ref": ref, "k": k, "z": z,
+                                   "metric": metric},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            max_restarts=0,
+        )
+
+    def knn_task(batch: pa.Table) -> pa.Table:
+        stage = _cached_index(
+            ("knn_stage", ref.hex(), k, z, metric),
+            lambda: KnnStage(ref_points_ref=ref, k=k, z=z, metric=metric))
+        return stage(batch)
+
+    return points_ds.map_batches(knn_task, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
 
 def explode_knn(ds, id_col: str = "c_custkey"):
