@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Sum
 
 from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
@@ -182,7 +182,24 @@ def fixed_histogram(ds, col: str, lo: int, width: int, n_bins: int,
 _MOMENT_COLS = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
 
 
-def grouped_comoments(ds, group_col: str, x_col: str, y_col: str):
+def _moment_partial(t: pa.Table, group_col: str, n_parts: int,
+                    n_col: str = "n") -> pa.Table:
+    """Shared combiner step: given a table whose ``_MOMENT_COLS`` are
+    already per-row or per-partial values, sum them per group and tag
+    the hash partition key."""
+    g = _np(t.column(group_col))
+    uniq, inv = np.unique(g, return_inverse=True)
+    cols = {group_col: pa.array(uniq)}
+    for name in _MOMENT_COLS:
+        acc = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(acc, inv, _np(t.column(name)).astype(np.int64))
+        cols[name] = pa.array(acc)
+    return add_hash_pkey(pa.table(cols), group_col, n_parts,
+                         out_col="__gkey")
+
+
+def grouped_comoments(ds, group_col: str, x_col: str, y_col: str,
+                      n_parts: int | None = None):
     """Exact integer co-moments per group — (n, Σx, Σy, Σx², Σy², Σxy)
     — the mergeable sufficient statistics of corr/cov/variance/OLS.
 
@@ -190,66 +207,92 @@ def grouped_comoments(ds, group_col: str, x_col: str, y_col: str):
     basis points) makes the distributed sum order-independent and
     bit-reproducible — a float corr() accumulated across shuffled blocks
     is not. Per-batch partial via segment ``np.add.at``; the exchange
-    carries one row per (batch, group). Caller owns overflow headroom:
-    max|x|²·rows must stay below 2⁶³."""
+    carries one row per (batch, group) into a hash-partitioned
+    segment-sum final (Ray's sort-based ``groupby().aggregate`` pays
+    per-distinct-key cost that collapses at 10^5+ groups). Caller owns
+    overflow headroom: max|x|²·rows must stay below 2⁶³."""
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = batch.column(group_col)
         x = _np(batch.column(x_col)).astype(np.int64)
         y = _np(batch.column(y_col)).astype(np.int64)
-        garr = _np(g)
-        uniq, inv = np.unique(garr, return_inverse=True)
-        k = len(uniq)
-        acc = np.zeros((6, k), dtype=np.int64)
-        np.add.at(acc[0], inv, 1)
-        np.add.at(acc[1], inv, x)
-        np.add.at(acc[2], inv, y)
-        np.add.at(acc[3], inv, x * x)
-        np.add.at(acc[4], inv, y * y)
-        np.add.at(acc[5], inv, x * y)
-        cols = {group_col: pa.array(uniq)}
-        for name, row in zip(_MOMENT_COLS, acc):
-            cols[name] = pa.array(row)
-        return pa.table(cols)
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xx": pa.array(x * x), "sum_yy": pa.array(y * y),
+            "sum_xy": pa.array(x * y),
+        })
+        return _moment_partial(t, group_col, n_parts)
+
+    def final(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["__gkey"])
+        if t.num_rows == 0:
+            return t
+        return _moment_partial(t, group_col, n_parts).drop_columns(["__gkey"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .aggregate(*[Sum(c, alias_name=c) for c in _MOMENT_COLS])
+        .groupby("__gkey")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
-def grouped_bbox(ds, group_col: str, lat_col: str, lon_col: str):
+_BBOX_COLS = ["min_lat", "max_lat", "min_lon", "max_lon", "n_pts"]
+
+
+def _bbox_reduce(t: pa.Table, group_col: str) -> pa.Table:
+    """Segment min/max/sum over already-partial bbox columns — used as
+    both the map-side combiner and the per-partition final (bbox state
+    is idempotently mergeable)."""
+    g = _np(t.column(group_col)).astype(np.int64)
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    ends = np.r_[starts[1:], len(gs)]
+    take = lambda c: _np(t.column(c)).astype(np.int64)[order]
+    return pa.table({
+        group_col: pa.array(gs[starts]),
+        "min_lat": pa.array(np.minimum.reduceat(take("min_lat"), starts)),
+        "max_lat": pa.array(np.maximum.reduceat(take("max_lat"), starts)),
+        "min_lon": pa.array(np.minimum.reduceat(take("min_lon"), starts)),
+        "max_lon": pa.array(np.maximum.reduceat(take("max_lon"), starts)),
+        "n_pts": pa.array(np.add.reduceat(take("n_pts"), starts)),
+    })
+
+
+def grouped_bbox(ds, group_col: str, lat_col: str, lon_col: str,
+                 n_parts: int | None = None):
     """Per-group integer bounding box + point count (the per-way bbox /
     per-tile extent op of a geospatial pipeline). Map-side segment
-    min/max partials collapse each batch to one row per group before the
-    single mergeable groupby — raw coordinates never shuffle."""
+    min/max partials collapse each batch to one row per group, then ONE
+    hash-partitioned segment-reduce merges partials — raw coordinates
+    never shuffle, and no per-distinct-key orchestration (group counts
+    here are input-sized: one bbox per way)."""
+    if n_parts is None:
+        n_parts = sized_fanout(ds)
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = _np(batch.column(group_col)).astype(np.int64)
-        lat = _np(batch.column(lat_col)).astype(np.int64)
-        lon = _np(batch.column(lon_col)).astype(np.int64)
-        order = np.argsort(g, kind="stable")
-        gs, lats, lons = g[order], lat[order], lon[order]
-        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
-        ends = np.r_[starts[1:], len(gs)]
-        return pa.table({
-            group_col: pa.array(gs[starts]),
-            "min_lat": pa.array(np.minimum.reduceat(lats, starts)),
-            "max_lat": pa.array(np.maximum.reduceat(lats, starts)),
-            "min_lon": pa.array(np.minimum.reduceat(lons, starts)),
-            "max_lon": pa.array(np.maximum.reduceat(lons, starts)),
-            "n_pts": pa.array((ends - starts).astype(np.int64)),
+        t = pa.table({
+            group_col: batch.column(group_col),
+            "min_lat": batch.column(lat_col),
+            "max_lat": batch.column(lat_col),
+            "min_lon": batch.column(lon_col),
+            "max_lon": batch.column(lon_col),
+            "n_pts": pa.array(np.ones(batch.num_rows, np.int64)),
         })
+        return add_hash_pkey(_bbox_reduce(t, group_col), group_col,
+                             n_parts, out_col="__gkey")
+
+    def final(part: pa.Table) -> pa.Table:
+        t = part.drop_columns(["__gkey"])
+        if t.num_rows == 0:
+            return t
+        return _bbox_reduce(t, group_col)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .aggregate(
-            Min("min_lat", alias_name="min_lat"),
-            Max("max_lat", alias_name="max_lat"),
-            Min("min_lon", alias_name="min_lon"),
-            Max("max_lon", alias_name="max_lon"),
-            Sum("n_pts", alias_name="n_pts"),
-        )
+        .groupby("__gkey")
+        .map_groups(final, batch_format="pyarrow")
     )
