@@ -733,10 +733,15 @@ def q_shipping_priority(sf_dir: str, broadcast_bytes: int | None = None):
         order = np.lexsort((o, -r))[:10]
         return batch.take(pa.array(order))
 
+    # materialize the tiny (≤10 × #blocks rows) top-k result BEFORE
+    # to_arrow_refs: the raw chain would execute once for the refs and
+    # once more (limit=1 schema probe) — the second pass pays the whole
+    # Sort barrier again (~1.2 s at sf0.1)
     top_tbls = [
         t
         for t in _ray.get(
-            rev.map_batches(topk_partial, batch_format="pyarrow").to_arrow_refs()
+            rev.map_batches(topk_partial, batch_format="pyarrow")
+            .materialize().to_arrow_refs()
         )
         if t.num_rows
     ]
