@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "way_bbox",
     "intersect_orders",
     "percent_rank_qty",
+    "normalize_text",
+    "approx_quantiles_price",
     "hash_sample",
 ]
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from osmpbf_ray.functions.mapreduce import par_map_reduce
 
@@ -283,3 +284,71 @@ def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096,
         "value": pa.array([kth[int(np.floor(q * (n - 1)))] for q in qs],
                           pa.float64()),
     })
+
+
+# --- one-pass mergeable approximate quantiles --------------------------------
+
+
+def _summary_compress(vals: np.ndarray, wts: np.ndarray, k: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a weighted value multiset to ≤ k equi-weight buckets,
+    each represented by its max value — the classic equi-depth summary.
+    Input need not be sorted; output is sorted. Querying rank r on the
+    result errs by at most total_weight / k (one bucket)."""
+    order = np.argsort(vals, kind="stable")
+    v, w = vals[order], wts[order]
+    if len(v) <= k:
+        return v, w
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # bucket upper edges at total·(i+1)/k; searchsorted('left') on the
+    # cumulative weights finds each edge's covering point
+    edges = np.searchsorted(cum, total * (np.arange(1, k + 1) / k), side="left")
+    edges = np.unique(np.minimum(edges, len(v) - 1))
+    bw = np.diff(np.r_[0, cum[edges]])
+    return v[edges], bw
+
+
+def approx_quantiles(ds, col: str, qs: list[float], k: int = 1024):
+    """ONE-PASS mergeable approximate quantiles — the streaming-scale
+    counterpart of :func:`exact_quantiles` (which re-scans per histogram
+    refinement). Each batch compresses to a ≤ k-point equi-depth summary
+    (value, weight); summaries union and compress once more on the
+    driver (k points × #batches is tiny). Rank error is bounded by one
+    bucket per compression level: ≤ n/k + n/k = 2n/k over the two
+    levels. The union-then-compress merge is ORDER-INVARIANT (a sorted
+    multiset union), so results don't depend on block arrival order —
+    but unlike everything in :mod:`exact_quantiles` the VALUES are
+    approximate, so there is no SQL oracle; the error bound is asserted
+    in pytest instead. NULLs are dropped (SQL quantile semantics)."""
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("qs must be fractions in [0, 1]")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.int64())})
+        cv, cw = _summary_compress(v, np.ones(len(v), np.int64), k)
+        return pa.table({"v": pa.array(cv), "w": pa.array(cw.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.array([None] * len(qs), pa.float64())})
+    allp = pa.concat_tables(tbls, promote_options="default")
+    v, w = _summary_compress(allp.column("v").to_numpy(),
+                             allp.column("w").to_numpy().astype(np.int64), k)
+    cum = np.cumsum(w)
+    n = cum[-1]
+    out = []
+    for q in qs:
+        r = q * (n - 1) + 1  # 1-based target rank
+        out.append(v[min(int(np.searchsorted(cum, r, side="left")), len(v) - 1)])
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "value": pa.array(out, pa.float64())})

@@ -2286,6 +2286,30 @@ def q_percent_rank_qty(sf_dir: str):
     return out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (pre-dedup cleanup): lowercase,
+    non-alphanumeric → space, collapse runs, trim — three RE2 kernel
+    passes per batch; pyarrow and DuckDB both run RE2 so the oracle is
+    byte-identical (stages/text.py:normalize_text_batch)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.normalize_text_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_approx_quantiles_price(sf_dir: str):
+    """ONE-PASS mergeable approximate quantiles of o_totalprice (the
+    streaming-scale counterpart of quantiles_price): ≤ k-point
+    equi-depth summary per batch, order-invariant union+compress final.
+    Values are approximate (rank error ≤ 2n/k, asserted in pytest), so
+    this entry is rows-only — no SQL oracle
+    (functions/quantile.py:approx_quantiles)."""
+    from osmpbf_ray.functions.quantile import approx_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return approx_quantiles(orders, "o_totalprice", _QUANTILE_QS, k=2048)
+
+
 # --- registry ---------------------------------------------------------------
 
 
@@ -2318,6 +2342,8 @@ def queries() -> dict:
         "intersect_orders": q_intersect_orders,
         "except_orders": q_except_orders,
         "percent_rank_qty": q_percent_rank_qty,
+        "normalize_text": q_normalize_text,
+        "approx_quantiles_price": q_approx_quantiles_price,
         # changed-this-round paths
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
@@ -3210,6 +3236,13 @@ def oracle_sql() -> dict:
         "min(nano_lon) AS min_lon, max(nano_lon) AS max_lon, "
         "CAST(count(*) AS BIGINT) AS n_pts FROM wg GROUP BY way_id"
     )
+    sql["normalize_text"] = (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM documents"
+    )
+    # approx_quantiles_price: intentionally NO oracle entry — the sketch
+    # is approximate; the driver records the weaker rows-only check and
+    # pytest asserts the 2n/k rank-error bound against exact quantiles.
     sql["intersect_orders"] = (
         "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000 "
         "INTERSECT SELECT o_orderkey FROM orders "

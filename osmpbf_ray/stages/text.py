@@ -289,3 +289,16 @@ class FingerprintStage:
         col = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), pa.array(fps.astype(np.int64)))
         return batch.append_column("fingerprint", col)
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm") -> pa.Table:
+    """Canonical text normalization (the pre-dedup/pre-tokenize cleanup
+    of corpus pipelines): lowercase → non-[a-z0-9 ] runs → single space
+    → collapse space runs → trim. Three RE2 kernel passes over the whole
+    batch, zero per-row Python; pyarrow and DuckDB both run RE2, so the
+    SQL twin (lower + regexp_replace 'g' + trim) is byte-identical."""
+    x = pc.utf8_lower(batch.column(text_col))
+    x = pc.replace_substring_regex(x, "[^a-z0-9 ]+", " ")
+    x = pc.replace_substring_regex(x, " +", " ")
+    return batch.append_column(out_col, pc.utf8_trim_whitespace(x))

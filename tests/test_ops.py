@@ -384,3 +384,57 @@ def test_exact_quantiles_degenerate():
     qs = [0.0, 0.5, 1.0]
     got = exact_quantiles(ds2, "x", qs, n_bins=4, max_collect=10).to_pandas()
     assert got["value"].tolist() == [sv[int(np.floor(q * (len(v) - 1)))] for q in qs]
+
+
+def test_approx_quantiles_rank_error_bound():
+    """One-pass sketch: the returned value's TRUE rank must be within
+    the documented 2n/k bound of the target rank, for skewed and
+    uniform data; result is block-order invariant."""
+    from osmpbf_ray.functions.quantile import approx_quantiles
+
+    rng = np.random.default_rng(31)
+    k = 512
+    for data in (rng.standard_normal(20000) * 100,
+                 rng.pareto(2.0, 20000),
+                 np.repeat(rng.integers(0, 5, 200), 100).astype(float)):
+        n = len(data)
+        ds = rd.from_arrow(pa.table({"x": data})).repartition(13)
+        out = approx_quantiles(ds, "x", [0.01, 0.25, 0.5, 0.75, 0.99],
+                               k=k).to_pandas()
+        s = np.sort(data)
+        for q, v in zip(out["q"], out["value"]):
+            target = q * (n - 1)
+            lo = np.searchsorted(s, v, side="left")
+            hi = np.searchsorted(s, v, side="right") - 1
+            # a tie run spans ranks [lo, hi]; a target inside it is exact
+            if lo <= target <= hi:
+                rank_err = 0.0
+            else:
+                rank_err = min(abs(lo - target), abs(hi - target))
+            assert rank_err <= 2 * n / k + 1, (q, v, rank_err)
+
+
+def test_approx_quantiles_nulls_and_empty():
+    from osmpbf_ray.functions.quantile import approx_quantiles
+
+    t = pa.table({"x": pa.array([None, 1.0, None, 3.0], pa.float64())})
+    out = approx_quantiles(rd.from_arrow(t), "x", [0.0, 1.0], k=16).to_pandas()
+    assert out["value"].tolist() == [1.0, 3.0]
+    e = pa.table({"x": pa.array([], pa.float64())})
+    out = approx_quantiles(rd.from_arrow(e), "x", [0.5], k=16).to_pandas()
+    assert out["value"].isna().all()
+
+
+def test_normalize_text_batch_matches_duckdb():
+    import duckdb
+
+    from osmpbf_ray.stages.text import normalize_text_batch
+
+    texts = ["Héllo,  World! 42", "a-b_c  d", "", "ALL CAPS 9", "  x  "]
+    t = pa.table({"text": texts})
+    got = normalize_text_batch(t).column("norm").to_pylist()
+    exp = [r[0] for r in duckdb.sql(
+        "SELECT trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]+', "
+        "' ', 'g'), ' +', ' ', 'g')) FROM (SELECT unnest($texts) AS s)",
+        params={"texts": texts}).fetchall()]
+    assert got == exp

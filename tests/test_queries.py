@@ -47,15 +47,23 @@ def test_query_matches_oracle(name, con):
             assert (gv == xv).all(), f"{name}.{c} value mismatch"
 
 
+# genuinely non-SQL-expressible results (approximate values): the
+# driver records the weaker rows-only check for these; everything else
+# MUST carry an oracle
+ROWS_ONLY = {"approx_quantiles_price"}
+
+
 def test_registry_oracle_parity():
     """Every registry query carries a DuckDB oracle and vice versa —
-    a new queries() entry can't silently ship unoracled."""
-    assert set(q.queries()) == set(q.oracle_sql())
+    a new queries() entry can't silently ship unoracled (the documented
+    ROWS_ONLY set is the only exception)."""
+    assert set(q.queries()) - ROWS_ONLY == set(q.oracle_sql())
 
 
 @pytest.mark.parametrize(
     "name,min_rows",
-    [("ivf_knn", 1), ("image_resize", 1), ("knn_join_geo_kring", 1), ("flagship", 0)],
+    [("ivf_knn", 1), ("image_resize", 1), ("knn_join_geo_kring", 1),
+     ("flagship", 0), ("approx_quantiles_price", 5)],
 )
 def test_rows_only_queries_run(name, min_rows):
     got = _to_df(q.queries()[name](SF))
