@@ -2360,6 +2360,12 @@ def queries() -> dict:
         "video_frame_stats": q_video_frame_stats,
         "pbf_read": q_pbf_read,
         "bloom_semi_join": q_bloom_semi_join,
+        # changed-this-session paths (task-based stages, materialize fix)
+        "knn_embeddings": q_knn_embeddings,
+        "simhash_pairs": q_simhash_pairs,
+        "image_decode": q_image_decode,
+        "shipping_priority": q_shipping_priority,
+        "knn_join_geo_kring": q_knn_join_geo_kring,
         # stalest (last driver-verified r3)
         "sessionize": q_sessionize,
         "tile_stats": q_tile_stats,
@@ -2380,7 +2386,6 @@ def queries() -> dict:
         "distinct_count": q_distinct_count,
         # r4-green singles without another class representative above
         "hash_sample": q_hash_sample,
-        "knn_join_geo_kring": q_knn_join_geo_kring,
         "top_orders_per_cust": q_top_orders_per_cust,
         "tile_rollup": q_tile_rollup,
         "anti_join_orders": q_anti_join_orders,
@@ -2402,18 +2407,14 @@ def queries() -> dict:
         "coord_decode": q_coord_decode,
         "pricing_summary": q_pricing_summary,
         "salted_group_count": q_salted_group_count,
-        "knn_embeddings": q_knn_embeddings,
         "spatial_join_bbox": q_spatial_join_bbox,
         "token_count_ws": q_token_count_ws,
         "asof_join_events": q_asof_join_events,
         "range_join_events": q_range_join_events,
-        "shipping_priority": q_shipping_priority,
         "pbf_way_refs": q_pbf_way_refs,
         "pbf_pruned_read": q_pbf_pruned_read,
         "relation_resolve_typed": q_relation_resolve_typed,
         "phash_dedup": q_phash_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "image_decode": q_image_decode,
         "approx_distinct": q_approx_distinct,
         "top_k_orders": q_top_k_orders,
         "union_orders": q_union_orders,
