@@ -116,6 +116,13 @@ def grouped_mode(ds, group_col: str, value_col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([group_col, value_col])
+        if t.column(value_col).null_count:
+            # SQL's mode-over-nulls tie order (NULLS LAST) can't be
+            # reproduced by the string-code tie-break here — reject
+            # loudly like the engine's other null-sensitive keys
+            raise ValueError(
+                f"null values in mode value column {value_col!r} are "
+                "unsupported — fill or filter them first")
         gb = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
         gb = gb.rename_columns([group_col, value_col, "__pn"])
         return add_hash_pkey(gb, group_col, n_parts, out_col="__gkey")
@@ -189,7 +196,9 @@ def _moment_partial(t: pa.Table, group_col: str, n_parts: int,
     the hash partition key."""
     g = _np(t.column(group_col))
     uniq, inv = np.unique(g, return_inverse=True)
-    cols = {group_col: pa.array(uniq)}
+    # explicit type: np.unique of an empty object (string-key) array
+    # would otherwise infer a null-typed column and break the exchange
+    cols = {group_col: pa.array(uniq, type=t.schema.field(group_col).type)}
     for name in _MOMENT_COLS:
         acc = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(acc, inv, _np(t.column(name)).astype(np.int64))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
@@ -37,8 +38,11 @@ def key_set_op(left_ds, right_ds, key: str, op: str,
 
     def tag(col_name: str, bit: int):
         def partial(batch: pa.Table) -> pa.Table:
-            k = np.unique(batch.column(col_name).to_numpy(zero_copy_only=False))
-            t = pa.table({key: pa.array(k),
+            # arrow-native unique keeps the key TYPE on empty batches
+            # (np.unique of an empty object array would infer a
+            # null-typed column and break the union's schema)
+            k = pc.unique(batch.column(col_name).combine_chunks())
+            t = pa.table({key: k,
                           "__tag": pa.array(np.full(len(k), bit, np.int64))})
             return add_hash_pkey(t, key, n_parts, out_col="__gkey")
         return partial
@@ -58,7 +62,8 @@ def key_set_op(left_ds, right_ds, key: str, op: str,
         acc = np.zeros(len(uniq), dtype=np.int64)
         np.bitwise_or.at(acc, inv, t)
         keep = np.ones(len(uniq), bool) if want == 0 else acc == want
-        return pa.table({key: pa.array(uniq[keep])})
+        return pa.table({key: pa.array(uniq[keep],
+                                       type=part.schema.field(key).type)})
 
     return (
         tagged.groupby("__gkey").map_groups(final, batch_format="pyarrow")

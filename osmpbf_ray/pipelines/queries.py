@@ -1416,8 +1416,7 @@ def q_video_frame_stats(sf_dir: str):
     Integer-exact vs the first-principles SQL twin."""
     from osmpbf_ray.stages import video
 
-    return video.frame_stats(rd.read_parquet(_synth_video_path()),
-                             concurrency=_conc())
+    return video.frame_stats(rd.read_parquet(_synth_video_path()))
 
 
 def q_video_frame_stats_zlib(sf_dir: str):
@@ -1430,8 +1429,7 @@ def q_video_frame_stats_zlib(sf_dir: str):
     lossy intra-frame codec (``ldcv1``) is PSNR-gated in pytest."""
     from osmpbf_ray.stages import video
 
-    return video.frame_stats(rd.read_parquet(_synth_video_zlib_path()),
-                             concurrency=_conc())
+    return video.frame_stats(rd.read_parquet(_synth_video_zlib_path()))
 
 
 def q_video_frame_sample(sf_dir: str):
@@ -1443,8 +1441,8 @@ def q_video_frame_sample(sf_dir: str):
     from osmpbf_ray.stages import video
 
     sampled = video.frame_sample(rd.read_parquet(_synth_video_path()),
-                                 every_k=_VIDEO_K, concurrency=_conc())
-    return video.frame_stats(sampled, concurrency=_conc())
+                                 every_k=_VIDEO_K)
+    return video.frame_stats(sampled)
 
 
 def q_top_orders_per_cust(sf_dir: str):
@@ -1637,6 +1635,10 @@ def q_local_supplier_revenue(sf_dir: str):
         vals = batch.column("o_custkey").to_numpy(zero_copy_only=False)
         if payload[0] == "exact":
             _, keyset, cnat = payload
+            if len(keyset) == 0:  # no ASIA customers at all
+                return pa.table({
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "c_nationkey": pa.array([], pa.int64())})
             pos = np.searchsorted(keyset, vals)
             safe = np.minimum(pos, len(keyset) - 1)
             keep = (pos < len(keyset)) & (keyset[safe] == vals)
@@ -1851,7 +1853,7 @@ def q_audio_features(sf_dir: str):
     vectorized across all windows of a batch in one reshape+reduction
     (stages/audio.py). Integer-exact vs the SQL twin."""
     ds = rd.read_parquet(_synth_audio_path())
-    return audio.audio_features(ds, window=_AUDIO_WINDOW, concurrency=_conc())
+    return audio.audio_features(ds, window=_AUDIO_WINDOW)
 
 
 def q_audio_features_mulaw(sf_dir: str):
@@ -1862,7 +1864,7 @@ def q_audio_features_mulaw(sf_dir: str):
     to CPython's audioop). The oracle reproduces encode∘decode in pure
     integer SQL, so a single wrong decoded sample hash-mismatches."""
     ds = rd.read_parquet(_synth_audio_mulaw_path())
-    return audio.audio_features(ds, window=_AUDIO_WINDOW, concurrency=_conc())
+    return audio.audio_features(ds, window=_AUDIO_WINDOW)
 
 
 def _supplier_ref_points(sf_dir: str):

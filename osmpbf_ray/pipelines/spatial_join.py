@@ -103,19 +103,11 @@ class SpatialJoinStage:
         return taken.append_column("poly_id", pa.array(polys, type=pa.int64()))
 
 
-# per-worker-process index cache for the task-based join path: tasks are
-# elastic (no pool sizing), yet the index still builds once per worker.
-# Bounded at ONE entry so long-lived workers never accumulate stale
-# indexes across jobs (the cached copy outlives the driver's ref).
-_TASK_INDEX_CACHE: dict = {}
-
-
-def _cached_index(key, build):
-    if _TASK_INDEX_CACHE.get("key") != key:
-        _TASK_INDEX_CACHE.clear()
-        _TASK_INDEX_CACHE["key"] = key
-        _TASK_INDEX_CACHE["value"] = build()
-    return _TASK_INDEX_CACHE["value"]
+# per-worker-process index cache for the task-based join path: tasks
+# are elastic (no pool sizing), yet the index still builds once per
+# worker. Shared bounded implementation — state/workercache.py (this
+# module used to carry a verbatim single-slot copy).
+from osmpbf_ray.state.workercache import cached as _cached_index  # noqa: E402
 
 
 def spatial_join(

@@ -192,14 +192,30 @@ class AudioFeatures:
         })
 
 
-def audio_features(ds, window: int, concurrency=(1, 4), batch_size: int = 64,
+def audio_features(ds, window: int, concurrency=None, batch_size: int = 64,
                    id_col: str = "audio_id", pcm_col: str = "pcm"):
     """Windowed feature extraction over an audio Dataset. Small
-    ``batch_size`` by default — binary payloads are wide, so batch ×
-    concurrency must fit a worker heap (the multimodal sizing rule)."""
+    ``batch_size`` by default — binary payloads are wide, so concurrent
+    batches must fit the worker heap (the multimodal sizing rule).
+    ``concurrency=None`` (default) runs as elastic tasks with a
+    per-worker cached stage (the constructor is a few constants; an
+    actor pool's spin-up dominated the kernel); pass an int/tuple to
+    pin an actor pool when payload width × free CPUs would exceed the
+    node's heap and the pool size is the memory bound."""
+    if concurrency is not None:
+        return ds.map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs=dict(window=window, id_col=id_col,
+                                       pcm_col=pcm_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            max_restarts=0,
+        )
     return ds.map_batches(
-        task_stage(AudioFeatures, (window, id_col, pcm_col),
-                   window=window, id_col=id_col, pcm_col=pcm_col),
+        task_stage(AudioFeatures, (), window=window, id_col=id_col,
+                   pcm_col=pcm_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

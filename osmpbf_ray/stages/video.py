@@ -223,24 +223,50 @@ class FrameSampleStage:
         return out
 
 
-def frame_stats(ds, concurrency=(1, 4), batch_size: int = 32,
+def frame_stats(ds, concurrency=None, batch_size: int = 32,
                 id_col: str = "video_id"):
     """Per-frame features over a video Dataset — small batches: raw
     frames are the widest payload in the engine (multimodal sizing
-    rule: batch × concurrency must fit a worker heap)."""
+    rule: concurrent batches must fit the worker heap).
+    ``concurrency=None`` (default) = elastic tasks with a per-worker
+    cached stage; pass an int/tuple to pin an actor pool when the pool
+    size is the memory bound (frame width × free CPUs > node heap)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            VideoFrameStats,
+            fn_constructor_kwargs=dict(id_col=id_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            max_restarts=0,
+        )
     return ds.map_batches(
-        task_stage(VideoFrameStats, (id_col,), id_col=id_col),
+        task_stage(VideoFrameStats, (), id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
     )
 
 
-def frame_sample(ds, every_k: int, concurrency=(1, 4), batch_size: int = 32,
+def frame_sample(ds, every_k: int, concurrency=None, batch_size: int = 32,
                  id_col: str = "video_id"):
+    """Every-k frame sampling; same concurrency contract as
+    :func:`frame_stats` (tasks by default, pool on request)."""
+    if every_k < 1:  # validate eagerly — task workers would raise late
+        raise ValueError("every_k must be >= 1")
+    if concurrency is not None:
+        return ds.map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs=dict(every_k=every_k, id_col=id_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            max_restarts=0,
+        )
     return ds.map_batches(
-        task_stage(FrameSampleStage, (every_k, id_col),
-                   every_k=every_k, id_col=id_col),
+        task_stage(FrameSampleStage, (), every_k=every_k, id_col=id_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

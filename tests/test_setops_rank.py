@@ -70,3 +70,25 @@ def test_percent_rank_single_row_groups_zero():
     out = grouped_percent_rank(rd.from_arrow(t), "g", "v").to_pandas()
     assert (out["pr"] == 0.0).all()
     assert (out["cd"] == 1.0).all()
+
+
+def test_key_set_op_empty_batches_keep_string_schema():
+    """An upstream filter that empties some batches must not flip the
+    key column to a null-typed Arrow array (schema-consistency across
+    blocks — the empty-np.unique-on-object pitfall)."""
+    la = rd.from_arrow(pa.table({"k": ["a", "zz", "b", "zz"]})).map_batches(
+        lambda b: b.filter(pa.compute.equal(b.column("k"), "zz")),
+        batch_format="pyarrow").repartition(4)
+    lb = rd.from_arrow(pa.table({"k": ["zz", "q"]}))
+    out = key_set_op(la, lb, "k", "intersect").take_all()
+    assert [r["k"] for r in out] == ["zz"]
+
+
+def test_grouped_mode_null_values_raise():
+    import pytest as _pytest
+
+    from osmpbf_ray.functions.aggregates import grouped_mode
+
+    t = pa.table({"g": [1, 1], "v": pa.array(["a", None])})
+    with _pytest.raises(Exception, match="null"):
+        grouped_mode(rd.from_arrow(t), "g", "v").materialize()
