@@ -189,11 +189,9 @@ def fixed_histogram(ds, col: str, lo: int, width: int, n_bins: int,
 _MOMENT_COLS = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
 
 
-def _moment_partial(t: pa.Table, group_col: str, n_parts: int,
-                    n_col: str = "n") -> pa.Table:
+def _moment_sum(t: pa.Table, group_col: str) -> pa.Table:
     """Shared combiner step: given a table whose ``_MOMENT_COLS`` are
-    already per-row or per-partial values, sum them per group and tag
-    the hash partition key."""
+    already per-row or per-partial values, sum them per group."""
     g = _np(t.column(group_col))
     uniq, inv = np.unique(g, return_inverse=True)
     # explicit type: np.unique of an empty object (string-key) array
@@ -203,8 +201,7 @@ def _moment_partial(t: pa.Table, group_col: str, n_parts: int,
         acc = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(acc, inv, _np(t.column(name)).astype(np.int64))
         cols[name] = pa.array(acc)
-    return add_hash_pkey(pa.table(cols), group_col, n_parts,
-                         out_col="__gkey")
+    return pa.table(cols)
 
 
 def grouped_comoments(ds, group_col: str, x_col: str, y_col: str,
@@ -233,13 +230,14 @@ def grouped_comoments(ds, group_col: str, x_col: str, y_col: str,
             "sum_xx": pa.array(x * x), "sum_yy": pa.array(y * y),
             "sum_xy": pa.array(x * y),
         })
-        return _moment_partial(t, group_col, n_parts)
+        return add_hash_pkey(_moment_sum(t, group_col), group_col,
+                             n_parts, out_col="__gkey")
 
     def final(part: pa.Table) -> pa.Table:
         t = part.drop_columns(["__gkey"])
         if t.num_rows == 0:
             return t
-        return _moment_partial(t, group_col, n_parts).drop_columns(["__gkey"])
+        return _moment_sum(t, group_col)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -233,10 +233,31 @@ def broadcast_lookup_join(ds, small: pa.Table, key: str, how: str = "inner"):
     def join_batch(batch: pa.Table) -> pa.Table:
         hexkey = ref.hex()
         if _BCAST_CACHE.get("key") != hexkey:
+            small_tbl = ray.get(ref)
             _BCAST_CACHE.clear()
             _BCAST_CACHE["key"] = hexkey
-            _BCAST_CACHE["tbl"] = ray.get(ref)
-        return batch.join(_BCAST_CACHE["tbl"], keys=key, join_type=join_type)
+            _BCAST_CACHE["tbl"] = small_tbl
+            # key + row-index projection for the acero match: acero
+            # rejects list/struct NON-KEY columns (ways.refs/tags,
+            # relation members), so match on indices and `take` the
+            # payloads — same shape partitioned_hash_join uses
+            _BCAST_CACHE["keys"] = pa.table({
+                key: small_tbl.column(key),
+                "__ri": pa.array(np.arange(small_tbl.num_rows, dtype=np.int64)),
+            })
+        small_tbl = _BCAST_CACHE["tbl"]
+        bkeys = pa.table({
+            key: batch.column(key),
+            "__li": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+        })
+        m = bkeys.join(_BCAST_CACHE["keys"], keys=key, join_type=join_type)
+        li = m.column("__li").combine_chunks()
+        ri = m.column("__ri").combine_chunks()
+        out = batch.take(li)
+        for name in small_tbl.column_names:
+            if name != key:
+                out = out.append_column(name, small_tbl.column(name).take(ri))
+        return out
 
     return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -296,9 +317,41 @@ def splitmix_u64(x) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def hash_key_u64(a) -> np.ndarray:
+    """splitmix64 key hash for ANY key dtype (uint64 out) — the single
+    hashing convention every partitioned exchange uses. String/object
+    keys go through crc32 per DISTINCT value (process-stable, unlike
+    Python's salted ``hash()``); NaN float keys raise (their int cast is
+    undefined and NaN != NaN would split a key)."""
+    a = np.asarray(a)
+    if a.dtype.kind in "OUS":
+        import zlib
+
+        uniq, inv = np.unique(a.astype(str), return_inverse=True)
+        h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
+        return splitmix_u64(h[inv])
+    if a.dtype.kind == "f" and np.isnan(a).any():
+        raise ValueError(
+            "null/NaN keys are unsupported — fill or filter the key column first"
+        )
+    return splitmix_u64(a)
+
+
 def add_bucket_column(batch: pa.Table, key_col: str, n_buckets: int, out_col: str = "bucket") -> pa.Table:
-    """Deterministic hash bucket for the partitioned join (splitmix64)."""
-    z = splitmix_u64(batch[key_col].to_numpy(zero_copy_only=False))
+    """Deterministic hash bucket for the partitioned join (splitmix64;
+    string keys via the crc32-per-distinct path). NULL keys go to
+    bucket 0: SQL join semantics say they never MATCH anything, so any
+    deterministic placement is correct — the per-bucket reducers handle
+    them (anti-join keeps them, equi-joins drop them)."""
+    col = batch[key_col]
+    a = col.to_numpy(zero_copy_only=False)
+    if getattr(col, "null_count", 0):
+        valid = pc.is_valid(col.combine_chunks()).to_numpy(zero_copy_only=False)
+        z = np.zeros(len(a), dtype=np.uint64)
+        if valid.any():
+            z[valid] = hash_key_u64(a[valid])
+    else:
+        z = hash_key_u64(a)
     return batch.append_column(out_col, pa.array((z % np.uint64(n_buckets)).astype(np.int64)))
 
 
@@ -367,8 +420,11 @@ def partitioned_hash_join(
         hot = np.isin(k, ray.get(hot_ref))
         # spread a hot key's rows over n_salt sub-buckets; any
         # near-uniform assignment is correct (the right side replicates
-        # into every sub-bucket), so a row-position hash suffices
-        salt = (splitmix_u64(k + np.arange(len(k), dtype=np.int64)) % np.uint64(n_salt)).astype(np.int64)
+        # into every sub-bucket), so a key-hash + row-position hash
+        # suffices (hash_key_u64 keeps this valid for string keys)
+        salt = (splitmix_u64(hash_key_u64(k).view(np.int64)
+                             + np.arange(len(k), dtype=np.int64))
+                % np.uint64(n_salt)).astype(np.int64)
         bucket = b["bucket"].to_numpy() * np.int64(n_salt) + np.where(hot, salt, 0)
         return b.set_column(b.schema.get_field_index("bucket"), "bucket", pa.array(bucket))
 

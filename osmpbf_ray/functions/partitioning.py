@@ -22,35 +22,18 @@ import pyarrow as pa
 # a runtime `from osmpbf_ray...` import fails when the driver's cwd
 # can't import the package (pickle-by-value ships module globals, not
 # runtime imports). joins.py imports partitioning lazily, so no cycle.
-from osmpbf_ray.functions.joins import splitmix_u64
+from osmpbf_ray.functions.joins import hash_key_u64, splitmix_u64  # noqa: F401
 
 DEFAULT_TARGET_ROWS = 500_000
 DEFAULT_FLOOR = 64
 DEFAULT_CAP = 1 << 16
 
-
-def partition_hash(a: np.ndarray) -> np.ndarray:
-    """splitmix64 partition hash for any key dtype (uint64 out).
-
-    String/object keys go through crc32 per DISTINCT value
-    (process-stable, unlike Python's salted ``hash()``, and cheap —
-    group keys have few distincts per batch) before the splitmix
-    avalanche. Raises on float input carrying NaN (an int64 key column
-    that picked up nulls round-trips through float64 NaN, whose int
-    cast is undefined)."""
-    if a.dtype.kind in "OUS":
-        import zlib
-
-        uniq, inv = np.unique(a.astype(str), return_inverse=True)
-        h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
-        return splitmix_u64(h[inv])
-    if a.dtype.kind == "f" and np.isnan(a).any():
-        raise ValueError(
-            "null/NaN partition keys are unsupported (SQL windows put all "
-            "NULL keys in ONE partition; here each NaN would become its own "
-            "segment) — fill or filter the key column first"
-        )
-    return splitmix_u64(a)
+# splitmix64 partition hash for any key dtype (uint64 out) — shared
+# with every bucketed exchange. String/object keys go crc32-per-distinct
+# (process-stable); NaN float keys raise (an int64 key column that
+# picked up nulls round-trips through float64 NaN, whose int cast is
+# undefined, and NaN != NaN would split the partition into singletons).
+partition_hash = hash_key_u64
 
 
 def add_hash_pkey(batch: pa.Table, key_col: str, n_parts: int,

@@ -210,6 +210,8 @@ def grouped_quantiles(ds, key_col: str, col: str, qs: list[float],
     """
     from osmpbf_ray.functions.partitioning import add_hash_pkey, sized_fanout
 
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError("qs must be fractions in [0, 1]")
     if n_parts is None:
         n_parts = sized_fanout(ds)
     qarr = np.array([float(q) for q in qs], dtype=np.float64)
@@ -267,6 +269,11 @@ def exact_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096,
     (column-pruned parquet re-reads are often cheaper than spilling a
     one-column copy of the corpus).
     """
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        # q > 1 would crash deep in _select_kth (IndexError past the top
+        # bin) and q < 0 would silently return a wrong value via a
+        # negative rank — validate at the argument, like approx_quantiles
+        raise ValueError("qs must be fractions in [0, 1]")
     ds = ds.select_columns([col])
     if materialize:
         ds = ds.materialize()

@@ -69,6 +69,12 @@ def rolling_sum(ds, key_col: str, order_cols: list[str], value_col: str,
         t = t.take(pa.array(order))
         g = t.column(key_col).to_numpy(zero_copy_only=False)
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            # a VALID float NaN (not an Arrow null — the guard above)
+            # would poison the same partition-wide cumsum silently
+            raise ValueError(
+                f"NaN values in value column {value_col!r} are "
+                "unsupported — fill or filter them first")
         n = len(g)
         first = np.r_[True, g[1:] != g[:-1]]
         starts = np.flatnonzero(first)

@@ -370,13 +370,31 @@ class KnnStage:
         for grp in np.split(order, bounds):
             qcell = int(cells[grp[0]])
             if self.metric == "haversine":
-                cand = self.index.ring_candidates(qcell, k)
+                # EXACT like the planar branch: expand until the group's
+                # worst k-th candidate distance is certified
+                # (ring_bound_m) closer than any unexplored cell
+                want = min(k, len(self.index.ids))
+                r, d = 1, None
+                while True:
+                    cand = self.index._points_in_cells(spatial.k_ring(qcell, r))
+                    bound = self.index.ring_bound_m(qcell, r)
+                    grid_done = bound == float("inf")
+                    if len(cand) >= want or grid_done:
+                        if len(cand):
+                            d = spatial.haversine_m(
+                                lat[grp][:, None], lon[grp][:, None],
+                                self.index.lat[cand][None, :],
+                                self.index.lon[cand][None, :],
+                            )
+                            kk = min(k, len(cand))
+                            worst_kth = np.partition(d, kk - 1, axis=1)[:, kk - 1].max()
+                            if grid_done or worst_kth <= bound:
+                                break
+                        elif grid_done:
+                            break
+                    r *= 2
                 if len(cand) == 0:
                     continue
-                d = spatial.haversine_m(
-                    lat[grp][:, None], lon[grp][:, None],
-                    self.index.lat[cand][None, :], self.index.lon[cand][None, :],
-                )
                 top = np.argsort(d, axis=1, kind="stable")
             else:
                 # planar_deg: wrapped-lon planar metric, rounded, id

@@ -725,26 +725,41 @@ def simhash64(text: str) -> int:
     return int(simhash64_batch([text])[0])
 
 
+_SIMHASH_TOK_CHUNK = 1 << 17  # 128k tokens → ≤64 MiB (total, 64) int64 expansion
+
+
 def simhash64_batch(texts: list) -> np.ndarray:
     """Vectorized SimHash across a batch: one flat token-hash array, one
     (total, 64) bit expansion, per-doc segmented ``add.reduceat`` for the
-    bit-weight sums — no per-doc Python hashing loop."""
+    bit-weight sums — no per-doc Python hashing loop. Documents are
+    processed in token-bounded chunks: the bit expansion costs ~512 B
+    per token, so an unchunked 128 MiB text block (~20M tokens) would
+    allocate ~10 GiB (the same bound every other wide kernel here
+    carries — minhash_signatures, phash64_batch)."""
     th = [token_hashes(str(t)) for t in texts]
     out = np.zeros(len(texts), dtype=np.int64)
     nonempty = [i for i, h in enumerate(th) if len(h)]
     if not nonempty:
         return out
-    lens = np.array([len(th[i]) for i in nonempty], dtype=np.int64)
-    flat = np.concatenate([th[i] for i in nonempty])
-    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    weights = 2 * np.add.reduceat(bits, offs, axis=0) - lens[:, None]  # (docs, 64)
-    vals = ((weights > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    out[nonempty] = vals.view(np.int64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    start = 0
+    while start < len(nonempty):
+        end, tok = start, 0
+        while end < len(nonempty) and (tok == 0
+                                       or tok + len(th[nonempty[end]]) <= _SIMHASH_TOK_CHUNK):
+            tok += len(th[nonempty[end]])
+            end += 1
+        docs = nonempty[start:end]
+        lens = np.array([len(th[i]) for i in docs], dtype=np.int64)
+        flat = np.concatenate([th[i] for i in docs])
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        weights = 2 * np.add.reduceat(bits, offs, axis=0) - lens[:, None]
+        vals = ((weights > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[docs] = vals.view(np.int64)
+        start = end
     return out
 
 

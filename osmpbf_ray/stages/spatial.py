@@ -252,10 +252,59 @@ class CellPointIndex:
             by = r * float(np.min(-np.diff(lat_tops)))
         return min(bx, by)
 
+    def ring_bound_m(self, qcell: int, r: int) -> float:
+        """Conservative lower bound on the HAVERSINE distance (meters)
+        from any point inside ``qcell`` to any point outside Chebyshev
+        ring ``r`` — the meters twin of :meth:`ring_bound_deg`, making
+        the haversine k-ring search exact.
+
+        A point outside ring r is ≥ r+1 tiles away in x OR in y.
+        * y case: latitude separation ≥ the r full tile heights strictly
+          between, ≥ r × the band's minimum tile height; meters via arc
+          length (d ≥ R·Δφ is exact on a sphere).
+        * x case: the point's y-tile is then WITHIN ring r, so its
+          latitude lies in the ring's band and cos(lat) ≥ the band-edge
+          cosine; d ≥ 2R·asin(cos_band·sin(Δλ/2)) from the haversine
+          formula with sin²(Δφ/2) ≥ 0. Edge tiles clamp poleward points
+          (their true |lat| reaches 90°), so a band touching tile 0 or
+          n−1 degrades the x bound to 0 and the y bound governs.
+        """
+        zs, _xs, ys_ = unpack_cell(np.asarray([qcell]))
+        z, y = int(zs[0]), int(ys_[0])
+        n = 1 << z
+        earth_r = 6371000.0
+        covered_x = (2 * r + 1) >= n
+        covered_y = (y - r) < 0 and (y + r) > n - 1
+        if covered_x and covered_y:
+            return float("inf")
+        if covered_y:
+            by = float("inf")
+        else:
+            ys = np.arange(max(0, y - r - 1), min(n, y + r + 2) + 1, dtype=np.float64)
+            lat_tops = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys / n))))
+            by = earth_r * np.radians(r * float(np.min(-np.diff(lat_tops))))
+        if covered_x:
+            bx = float("inf")
+        else:
+            ylo, yhi = max(0, y - r), min(n - 1, y + r)
+            if ylo == 0 or yhi == n - 1:
+                bx = 0.0  # pole-clamped edge tiles: cos(lat) can be 0
+            else:
+                band = np.array([ylo, yhi + 1], dtype=np.float64)
+                lats = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * band / n))))
+                cosb = float(np.min(np.cos(np.radians(lats))))
+                dlam = min(r * (2.0 * np.pi / n), np.pi)
+                bx = 2.0 * earth_r * np.arcsin(max(cosb, 0.0) * np.sin(dlam / 2.0))
+        return min(bx, by)
+
     def ring_candidates(self, qcell: int, k: int, max_ring: int = 64) -> np.ndarray:
         """Candidate indices for a query cell: expand k-rings until >= k
-        found, then one guard ring (a point just outside the searched
-        square can be closer than one inside it)."""
+        found, then one guard ring. NOT an exactness certificate (a point
+        two rings out can still be nearer, e.g. across a cell corner or
+        where Mercator rows shrink) — exact search uses
+        :meth:`knn` / the certified loops in ``pipelines/spatial_join``,
+        which expand until the k-th distance beats
+        :meth:`ring_bound_m` / :meth:`ring_bound_deg`."""
         ring = 1
         cand = self._points_in_cells(k_ring(qcell, ring))
         while len(cand) < k and ring < max_ring:
@@ -263,13 +312,28 @@ class CellPointIndex:
             cand = self._points_in_cells(k_ring(qcell, ring))
         return self._points_in_cells(k_ring(qcell, min(ring + 1, max_ring)))
 
-    def knn(self, qlat: float, qlon: float, k: int, max_ring: int = 64) -> tuple[np.ndarray, np.ndarray]:
-        """ids and distances (meters) of the k nearest indexed points."""
+    def knn(self, qlat: float, qlon: float, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """ids and distances (meters) of the k nearest indexed points —
+        EXACT: rings expand until the k-th candidate distance is
+        certified (:meth:`ring_bound_m`) closer than any unexplored
+        cell could be."""
         qcell = int(lonlat_to_cell(np.asarray([qlat]), np.asarray([qlon]), self.z)[0])
-        cand = self.ring_candidates(qcell, k, max_ring)
-        if len(cand) == 0:
+        want = min(k, len(self.ids))
+        if want == 0:
             return np.empty(0, dtype=np.int64), np.empty(0)
-        d = haversine_m(qlat, qlon, self.lat[cand], self.lon[cand])
+        r = 1
+        while True:
+            cand = self._points_in_cells(k_ring(qcell, r))
+            bound = self.ring_bound_m(qcell, r)
+            if len(cand) >= want:
+                d = haversine_m(qlat, qlon, self.lat[cand], self.lon[cand])
+                if bound == float("inf") or \
+                        float(np.partition(d, want - 1)[want - 1]) <= bound:
+                    break
+            elif bound == float("inf"):
+                d = haversine_m(qlat, qlon, self.lat[cand], self.lon[cand])
+                break
+            r *= 2
         top = np.argsort(d, kind="stable")[:k]
         sel = cand[top]
         return self.ids[sel], d[top]

@@ -239,14 +239,21 @@ def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16,
     parts_h: list[np.ndarray] = []
     if long_mask.any():
         powers = np.uint64(base) ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64
+        # window ONLY this call's byte span: an Arrow slice SHARES the
+        # parent's full data buffer, so windowing `data` whole would
+        # re-materialize and re-hash the entire parent block once per
+        # chunk (the chunk loop above would be O(B²) and unbounded in
+        # memory instead of the cap it exists to provide)
+        lo = int(off[0])
+        span = data[lo:int(off[-1])]
         strided = np.lib.stride_tricks.sliding_window_view(
-            data, window).astype(np.uint64)
+            span, window).astype(np.uint64)
         all_h = splitmix64((strided * powers).sum(axis=1, dtype=np.uint64))
         total = int(nwin.sum())
         par = np.repeat(np.arange(n, dtype=np.int64), nwin)
         seg_off = np.repeat(np.r_[0, np.cumsum(nwin)[:-1]], nwin)
         gidx = (np.arange(total, dtype=np.int64) - seg_off
-                + np.repeat(off[:-1], nwin))
+                + np.repeat(off[:-1] - lo, nwin))
         h = all_h[gidx]
         keep = h % np.uint64(keep_mod) == 0
         kp, kh = par[keep], h[keep]
@@ -261,7 +268,7 @@ def batch_rolling_fingerprints(texts, window: int = 8, keep_mod: int = 16,
         fb = np.flatnonzero(long_mask & ~has_kept)
         if len(fb):
             parts_p.append(fb.astype(np.int64))
-            parts_h.append(all_h[off[fb]])
+            parts_h.append(all_h[off[fb] - lo])
         parts_p.append(kp)
         parts_h.append(kh)
     short = np.flatnonzero(~long_mask)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from osmpbf_ray.functions import window
@@ -438,3 +439,57 @@ def test_normalize_text_batch_matches_duckdb():
         "' ', 'g'), ' +', ' ', 'g')) FROM (SELECT unnest($texts) AS s)",
         params={"texts": texts}).fetchall()]
     assert got == exp
+
+
+def test_partitioned_joins_string_keys():
+    """String keys must survive the distributed (bucketed) paths, not
+    just the broadcast ones — the splitmix bucket hash routes strings
+    through the crc32-per-distinct path."""
+    from osmpbf_ray.functions.joins import anti_join, partitioned_hash_join
+
+    left = pa.table({"user": ["a", "b", "c", "d"], "v": [1, 2, 3, 4]})
+    right = pa.table({"user": ["b", "d", "e"]})
+    out = anti_join(rd.from_arrow(left), rd.from_arrow(right), key="user",
+                    broadcast_bytes=0).to_pandas()  # force distributed
+    assert sorted(out["user"]) == ["a", "c"]
+    small = pa.table({"user": ["a", "c"], "tag": [9, 8]})
+    j = partitioned_hash_join(rd.from_arrow(left), rd.from_arrow(small),
+                              key="user").to_pandas()
+    assert sorted(zip(j["user"], j["tag"])) == [("a", 9), ("c", 8)]
+
+
+def test_broadcast_lookup_join_list_payload():
+    """List-typed non-key columns must pass through the broadcast join
+    (acero rejects them; the index-take shape does not)."""
+    from osmpbf_ray.functions.joins import broadcast_lookup_join
+
+    left = pa.table({"id": [1, 2, 3, 2], "refs": [[1, 2], [3], [4, 5, 6], [7]]})
+    small = pa.table({"id": [2, 3, 9], "name": ["b", "c", "z"]})
+    out = broadcast_lookup_join(rd.from_arrow(left), small,
+                                key="id", how="inner").to_pandas()
+    assert sorted(out["name"]) == ["b", "b", "c"]
+    out2 = broadcast_lookup_join(rd.from_arrow(left), small,
+                                 key="id", how="left").to_pandas()
+    assert len(out2) == 4 and out2["name"].isna().sum() == 1
+
+
+def test_rolling_sum_rejects_valid_nan():
+    from osmpbf_ray.functions import window as W
+
+    t = pa.table({"g": [1, 1, 1], "o": [1, 2, 3],
+                  "x": np.array([1.0, np.nan, 2.0])})
+    with pytest.raises(Exception, match="NaN"):
+        W.rolling_sum(rd.from_arrow(t), "g", ["o"], "x", window=2).materialize()
+
+
+def test_exact_quantiles_validates_qs():
+    from osmpbf_ray.functions.quantile import exact_quantiles, grouped_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": np.arange(100, dtype=np.float64)}))
+    with pytest.raises(ValueError, match="fractions"):
+        exact_quantiles(ds, "x", [99])
+    with pytest.raises(ValueError, match="fractions"):
+        exact_quantiles(ds, "x", [-0.1])
+    gds = rd.from_arrow(pa.table({"g": [1] * 10, "x": np.arange(10.0)}))
+    with pytest.raises(ValueError, match="fractions"):
+        grouped_quantiles(gds, "g", "x", [1.5])

@@ -1,6 +1,8 @@
 """Spatial core unit tests (no Ray needed)."""
 
 import numpy as np
+import pyarrow as pa
+import ray.data as rd
 
 from osmpbf_ray.stages import spatial
 
@@ -86,3 +88,62 @@ def test_knn_matches_brute_force():
         bf = spatial.haversine_m(qlat, qlon, lat, lon)
         expect = np.sort(bf)[:10]
         assert np.allclose(np.sort(d), expect)
+
+
+def test_knn_haversine_adversarial_corner_cases():
+    """Hardcoded configurations where the OLD >=k-plus-one-guard-ring
+    heuristic provably returned the WRONG nearest neighbor (found by
+    search: ring-1 candidate farther than a ring-3+ point) — the
+    certified ring_bound_m expansion must return the true one."""
+    cases = [
+        # (z, qlat, qlon, ref_lats, ref_lons, true_nearest_m)
+        (4, 20.969938366436864, 20.49624573735531,
+         [-19.790467379479104, 58.63061682878783],
+         [4.489301800600117, 37.74993645066161], 4410742.461121538),
+        (4, -48.95009715785012, -34.46790099986461,
+         [-24.548704272442556, -74.67653679099526],
+         [-65.47274426745125, -35.03589407910903], 2860774.727295141),
+    ]
+    for z, ql, qo, lats, lons, true_d in cases:
+        idx = spatial.CellPointIndex(np.arange(2, dtype=np.int64),
+                                     np.array(lats), np.array(lons), z=z)
+        _, d = idx.knn(ql, qo, k=1)
+        assert np.allclose(d, [true_d], rtol=0, atol=1e-6)
+
+
+def test_knn_haversine_certified_exact_vs_brute_force():
+    """The haversine k-ring search must equal brute force EXACTLY —
+    including near cell corners and at high latitude where Mercator
+    rows shrink."""
+    rng = np.random.default_rng(97)
+    # clustered refs (force early >=k rings) + sparse far refs that can
+    # still be nearer across corners / shrunken rows
+    lat = np.concatenate([rng.uniform(55, 84, 150), rng.uniform(-84, 84, 50)])
+    lon = np.concatenate([rng.uniform(-30, 30, 150), rng.uniform(-179, 179, 50)])
+    ids = np.arange(len(lat), dtype=np.int64)
+    idx = spatial.CellPointIndex(ids, lat, lon, z=6)
+    qlat = rng.uniform(55, 84.9, 120)
+    qlon = rng.uniform(-35, 35, 120)
+    for ql, qo in zip(qlat, qlon):
+        got_ids, got_d = idx.knn(float(ql), float(qo), k=3)
+        bf = spatial.haversine_m(float(ql), float(qo), lat, lon)
+        exp_d = np.sort(bf)[:3]
+        assert np.allclose(np.sort(got_d), exp_d, rtol=0, atol=1e-9), (
+            ql, qo, got_d, exp_d)
+
+
+def test_knn_stage_haversine_matches_brute_force():
+    import ray as _ray
+
+    from osmpbf_ray.pipelines import spatial_join as sj
+
+    rng = np.random.default_rng(11)
+    rlat = rng.uniform(60, 84, 60)
+    rlon = rng.uniform(-20, 20, 60)
+    rids = np.arange(60, dtype=np.int64)
+    pts = pa.table({"lat": rng.uniform(60, 84, 40), "lon": rng.uniform(-25, 25, 40)})
+    out = sj.knn_join(rd.from_arrow(pts), rids, rlat, rlon, k=2, z=6,
+                      metric="haversine").to_pandas()
+    for _, row in out.iterrows():
+        bf = spatial.haversine_m(row["lat"], row["lon"], rlat, rlon)
+        assert np.allclose(sorted(row["nn_dist_m"]), np.sort(bf)[:2], atol=1e-9)
