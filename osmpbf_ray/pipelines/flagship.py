@@ -53,7 +53,12 @@ def run_flagship(
             max_restarts=0,
         )
     joined = spatial_join(ds, polygons, z=z_join, concurrency=join_concurrency)
-    stats = tiles_mod.tile_stats(ds, z_tile)
+    # tile assignment needs only lat/lon, which the INPUT already has —
+    # feeding it the decoded stream would re-run the whole ImageDecoder
+    # pass when both outputs are consumed (lazy plans re-execute per
+    # consumer); ImageDecoder only appends columns, so stats from the
+    # raw input are identical
+    stats = tiles_mod.tile_stats(images_ds, z_tile)
     return {"joined": joined, "tile_stats": stats}
 
 

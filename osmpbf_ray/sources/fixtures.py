@@ -257,8 +257,11 @@ def make_way_blocks(n_random: int = 20, seed: int = SEED, with_locations: bool =
     refs must be exactly [105, 106, 108, 105] with tags building=yes,
     name=triangle (reference tests/read.rs:160-168)."""
     rng = np.random.default_rng(seed + 7)
-    golden_nano = [(52122403100, 13142943700), (52119923500, 13142178700),
-                   (52119899100, 13143712400), (52122403100, 13142943700)]
+    # locations of refs [105, 106, 108, 105] = the golden NODE coords
+    # (reference tests/read.rs:371-390 asserts exactly these values for
+    # way 107's LocationsOnWays — lon 11628401700 etc., not ad-hoc ones)
+    _by_id = dict(zip(GOLDEN_NODE_IDS, zip(GOLDEN_NANO_LAT, GOLDEN_NANO_LON)))
+    golden_nano = [_by_id[i] for i in GOLDEN_WAY_REFS]
     rows = [
         {
             "block_id": 0,

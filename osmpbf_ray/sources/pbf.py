@@ -128,15 +128,18 @@ def decode_blob(buf, copy: bool = True):
 
             dec = lzma.LZMADecompressor()
             raw = dec.decompress(bytes(val), MAX_BLOB_MESSAGE_SIZE + 1)
-            if len(raw) > MAX_BLOB_MESSAGE_SIZE or (not dec.eof and not dec.needs_input):
-                raise ValueError("blob exceeds max uncompressed size")
+            # eof is required: a TRUNCATED stream ends with
+            # needs_input=True and would otherwise pass as a silently
+            # partial payload
+            if len(raw) > MAX_BLOB_MESSAGE_SIZE or not dec.eof:
+                raise ValueError("truncated or oversized lzma blob payload")
         elif field == 5 and wire == w.WIRE_LEN:  # OBSOLETE_bzip2_data
             import bz2
 
             dec = bz2.BZ2Decompressor()
             raw = dec.decompress(bytes(val), MAX_BLOB_MESSAGE_SIZE + 1)
-            if len(raw) > MAX_BLOB_MESSAGE_SIZE or (not dec.eof and not dec.needs_input):
-                raise ValueError("blob exceeds max uncompressed size")
+            if len(raw) > MAX_BLOB_MESSAGE_SIZE or not dec.eof:
+                raise ValueError("truncated or oversized bzip2 blob payload")
         elif field in (6, 7) and wire == w.WIRE_LEN:
             raise ValueError("unsupported blob compression (lz4/zstd)")
     if raw is None:
@@ -191,9 +194,13 @@ def parse_header_block(buf) -> dict:
     return out
 
 
-def read_pbf_header(path: str) -> dict | None:
+def read_pbf_header(path) -> dict | None:
     """Driver-side metadata read: first OSMHeader blob only, converted
-    like stages.decode.header_meta (degrees, frozenset features)."""
+    like stages.decode.header_meta (degrees, frozenset features).
+    ``path`` may be a list (multi-file contract): the first file's
+    header governs, matching how the files would be concatenated."""
+    if not isinstance(path, (str, bytes)):
+        path = list(path)[0]
     for d in scan_blobs(path):
         if d["type"] != "OSMHeader":
             continue
@@ -467,7 +474,16 @@ def node_block_rows(block_id: int, pb: dict) -> list[dict]:
                 kv.extend(int(x) for pair in zip(nd["keys"], nd["vals"]) for x in pair)
                 kv.append(0)
             infos = [nd["info"] for nd in g["nodes"]]
-            has_info = all(i is not None for i in infos)
+            # Info is OPTIONAL PER NODE in plain groups — a single
+            # info-less node must not drop the whole group's metadata;
+            # missing entries take the proto defaults (osmformat.proto
+            # Info: version -1, visible true, numerics 0)
+            has_info = any(i is not None for i in infos)
+            if has_info:
+                infos = [i if i is not None else
+                         {"version": -1, "timestamp": 0, "changeset": 0,
+                          "uid": 0, "user_sid": 0, "visible": True}
+                         for i in infos]
             row = _block_row_common(block_id, pb)
             row.update(
                 kind="nodes",
@@ -572,11 +588,15 @@ def _fetch_parse(batch: pa.Table, row_fn, out_schema: pa.Schema,
     paths = batch.column("path").to_pylist()
     offsets = batch.column("offset").to_pylist()
     sizes = batch.column("datasize").to_pylist()
+    import lzma
+
     rows = []
     for p, off, sz in zip(paths, offsets, sizes):
         try:
             pb = parse_primitive_block(_read_payload(p, off, sz))
-        except (ValueError, zlib.error) as exc:
+        # OSError covers bz2's malformed-stream errors — every codec
+        # decode_blob supports must be skippable, not just zlib
+        except (ValueError, zlib.error, lzma.LZMAError, OSError) as exc:
             if on_error != "skip":
                 raise
             print(f"osmpbf_ray: skipping malformed blob at {p}:{off}: {exc}")
@@ -635,7 +655,10 @@ def read_pbf_raw(path: str, decompress: bool = True,
     """
     import ray.data as rd
 
-    items = scan_blobs(path)
+    # path may be one file or a list — same contract as every other
+    # read_pbf_* (multi-file planets form one descriptor stream)
+    paths = [path] if isinstance(path, (str, bytes)) else list(path)
+    items = [d for p in paths for d in scan_blobs(p)]
 
     def fetch(batch: pa.Table) -> pa.Table:
         data = []
@@ -1076,12 +1099,23 @@ def mmap_blob_reader(path: str):
     try:
         pos, end = 0, len(view)
         while pos < end:
+            # same truncation guards as scan_blobs: a short header read
+            # must raise the documented ValueError (not struct.error),
+            # and a payload slice past EOF must not silently shorten
+            if pos + 4 > end:
+                raise ValueError("truncated blob header size")
             (hsize,) = struct.unpack(">I", view[pos : pos + 4])
             if hsize > MAX_HEADER_SIZE:
                 raise ValueError(f"blob header exceeds {MAX_HEADER_SIZE} bytes")
+            if pos + 4 + hsize > end:
+                raise ValueError("truncated BlobHeader")
             btype, datasize, indexdata = _parse_blob_header(
                 view[pos + 4 : pos + 4 + hsize])
             off = pos + 4 + hsize
+            if off + datasize > end:
+                raise ValueError(
+                    f"truncated blob payload at offset {off}: "
+                    f"needs {datasize} bytes, file has {end - off}")
             # raw payloads stay memoryview slices of the mapping —
             # consume within the loop (the mapping is unmapped after it)
             payload = decode_blob(view[off : off + datasize], copy=False)

@@ -162,9 +162,12 @@ class PbfIndex:
         Returns (matching_ways: Dataset, dep_nodes: Dataset)."""
         import ray
 
+        # materialize: the filtered ways are consumed TWICE (ref-key
+        # collection below + the caller reading the returned dataset) —
+        # lazy plans re-execute the whole ways read per consumer
         matched = pbf.read_pbf_ways(self.path).map_batches(
             way_predicate_batch_fn, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ).materialize()
 
         def refs_partial(batch: pa.Table) -> pa.Table:
             flat = pc.list_flatten(batch.column("refs").combine_chunks())

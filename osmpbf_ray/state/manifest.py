@@ -44,6 +44,14 @@ def table_checksum(tbl: pa.Table) -> int:
     if tbl.num_rows == 0:
         return 0
     df = tbl.to_pandas()
+    # str() of a >1000-element numpy array ELIDES the middle
+    # ('[0 1 ... 999]'), so two long-list cells differing only there
+    # would hash equal — serialize list cells fully instead
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: repr(v.tolist()) if isinstance(v, np.ndarray)
+                else repr(v.as_py()) if hasattr(v, "as_py") else str(v))
     h = pd.util.hash_pandas_object(df.astype(str), index=False).to_numpy().astype(np.uint64)
     return int(np.bitwise_xor.reduce(h))
 

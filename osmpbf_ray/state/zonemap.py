@@ -94,10 +94,18 @@ def pruned_semi_join(path: str, key_col: str, keys: np.ndarray, columns=None):
     stats = fragment_stats(path, key_col)
     kept, skipped = prune_fragments(stats, keys)
     if not kept:
-        from osmpbf_ray import schema as _schema  # noqa: F401
+        if not skipped:  # no fragments at all — nothing to type from
+            return rd.from_items([]), 0, 0
+        # typed empty dataset: schema comes from the (pruned) fragments
+        # themselves, so downstream select_columns/union/schema() behave
+        # exactly as on the non-empty path (from_items([]) is
+        # schema-less and breaks those)
+        import pyarrow as pa
 
-        empty = rd.from_items([])
-        return empty, 0, len(skipped)
+        sch = pq.read_schema(skipped[0]).remove_metadata()
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table()), 0, len(skipped)
     ds = rd.read_parquet(kept, columns=columns)
     keys_ref = ray.put(np.asarray(keys))
     return broadcast_semi_join(ds, key_col, keys_ref), len(kept), len(skipped)

@@ -153,7 +153,7 @@ def test_lzma_bzip2_blob_roundtrip(tmp_path):
         assert ids == sorted(n["id"] for n in fixtures.golden_nodes().to_pylist())
     # a blob whose decompressed size exceeds the 32 MiB bound must raise
     big = lzma.compress(b"\x00" * (pbf.MAX_BLOB_MESSAGE_SIZE + 1))
-    with pytest.raises(ValueError, match="exceeds max uncompressed size"):
+    with pytest.raises(ValueError, match="oversized lzma"):
         pbf.decode_blob(w.field_len(4, big))
 
 
@@ -167,12 +167,12 @@ def test_locations_on_ways_roundtrip(tmp_path):
     assert "LocationsOnWays" in pbf.read_pbf_header(path)["optional_features"]
     ways = pbf.read_pbf_ways(path).to_pandas()
     locs = ways["locations"].iloc[0]
+    ref_order = [0, 1, 2, 0]  # refs [105, 106, 108, 105]
     assert [l["nano_lat"] for l in locs] == [
-        fixtures.GOLDEN_NANO_LAT[0],
-        fixtures.GOLDEN_NANO_LAT[1],
-        fixtures.GOLDEN_NANO_LAT[2],
-        fixtures.GOLDEN_NANO_LAT[0],
-    ]
+        fixtures.GOLDEN_NANO_LAT[i] for i in ref_order]
+    # lons too: reference tests/read.rs:371-390 asserts BOTH axes
+    assert [l["nano_lon"] for l in locs] == [
+        fixtures.GOLDEN_NANO_LON[i] for i in ref_order]
 
 
 def test_history_visible_roundtrip(tmp_path):
@@ -561,3 +561,75 @@ def test_blobheader_indexdata_passthrough(tmp_path):
     assert raw.schema.field("indexdata").type == pa.binary()
     vals = raw.column("indexdata").to_pylist()
     assert b"\x01\x02tile" in vals and vals.count(None) == len(vals) - 1
+
+
+def test_plain_nodes_mixed_optional_info(tmp_path):
+    """Info is optional PER NODE in plain (non-dense) groups: one
+    info-less node must not drop metadata for the whole group — missing
+    entries take the proto defaults (version -1, visible true)."""
+    nodes = fixtures.golden_nodes()
+    # null out the middle node's info struct
+    info = nodes.column("info").to_pylist()
+    info[1] = None
+    nodes = nodes.set_column(nodes.schema.get_field_index("info"), "info",
+                             pa.array(info, type=nodes.schema.field("info").type))
+    path = str(tmp_path / "mixed_info.osm.pbf")
+    pbf.write_pbf(path, nodes=nodes, dense=False)
+    out = pbf.read_pbf_nodes(path).to_pandas().sort_values("id")
+    infos = list(out["info"])
+    assert infos[0] is not None and infos[0]["version"] == 1
+    assert infos[2] is not None and infos[2]["version"] == 1
+    assert infos[1] is not None and infos[1]["version"] == -1  # proto default
+    assert bool(infos[1]["visible"]) is True
+
+
+def test_truncated_lzma_blob_raises_and_skips(tmp_path):
+    """A truncated lzma payload must raise (not silently return a
+    partial block), and on_error='skip' must survive it."""
+    import lzma
+    import struct as _struct
+
+    src = str(tmp_path / "ok.osm.pbf")
+    pbf.write_pbf(src, nodes=fixtures.golden_nodes(), compress="lzma")
+    raw = open(src, "rb").read()
+    # find the OSMData blob and truncate its lzma stream mid-way by
+    # rewriting the file with a shortened payload
+    descs = pbf.scan_blobs(src)
+    d = [x for x in descs if x["type"] == "OSMData"][0]
+    blob = raw[d["offset"]: d["offset"] + d["datasize"]]
+    # an INTACT protobuf field carrying a TRUNCATED lzma stream: the
+    # decompressor ends with needs_input=True, eof=False — must raise,
+    # not return a silently partial payload
+    payload = lzma.compress(pbf.decode_blob(blob))
+    with pytest.raises(ValueError, match="truncated or oversized lzma"):
+        pbf.decode_blob(w.field_len(4, payload[:-8]))
+    # skip path: a malformed blob in the batch is dropped, not fatal
+    bad = str(tmp_path / "bad.osm.pbf")
+    with open(bad, "wb") as f:
+        f.write(pbf._blob_frame("OSMData", pbf.decode_blob(blob), "lzma"))
+    bd = pbf.scan_blobs(bad)[0]
+    batch = pa.table({"path": [bad], "offset": [bd["offset"]],
+                      "datasize": [bd["datasize"] - 8]})
+    out = pbf._fetch_parse(batch, lambda off, pb: [], pbf.schema.BLOCKS_SCHEMA,
+                           on_error="skip")
+    assert out.num_rows == 0
+
+
+def test_mmap_reader_truncated_file(tmp_path):
+    path = str(tmp_path / "t.osm.pbf")
+    pbf.write_pbf(path, nodes=fixtures.golden_nodes())
+    data = open(path, "rb").read()
+    cut = str(tmp_path / "cut.osm.pbf")
+    open(cut, "wb").write(data[:-10])  # chop the final payload
+    with pytest.raises(ValueError, match="truncated"):
+        list(pbf.mmap_blob_reader(cut))
+
+
+def test_read_pbf_raw_accepts_path_list(tmp_path):
+    a, b = str(tmp_path / "a.osm.pbf"), str(tmp_path / "b.osm.pbf")
+    pbf.write_pbf(a, nodes=fixtures.golden_nodes())
+    pbf.write_pbf(b, nodes=fixtures.golden_nodes())
+    one = pbf.read_pbf_raw(a).count()
+    both = pbf.read_pbf_raw([a, b]).count()
+    assert both == 2 * one
+    assert pbf.read_pbf_header([a, b]) is not None

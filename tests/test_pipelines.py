@@ -311,3 +311,20 @@ def test_knn_planar_fewer_refs_than_k():
     ).to_pandas()
     assert len(out) == 4  # 2 points × 2 refs
     assert set(out["nn_id"]) == {7, 9}
+
+
+def test_table_checksum_sees_long_list_middles():
+    """str() of a >1000-element numpy array elides its middle, so two
+    long-list cells differing only there used to hash EQUAL — the
+    resume-equality checksum must see full list contents."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmpbf_ray.state.manifest import table_checksum
+
+    a = pa.table({"x": [np.arange(2000)]})
+    mid = np.arange(2000)
+    mid[1000] = 77
+    b = pa.table({"x": [mid]})
+    assert table_checksum(a) != table_checksum(b)
+    assert table_checksum(a) == table_checksum(pa.table({"x": [np.arange(2000)]}))
