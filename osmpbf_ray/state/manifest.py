@@ -144,9 +144,10 @@ def run_resumable(
             out[pid] = manifest.out_dir / f"part={pid}"
             continue
         tbl = produce(pid, spec)
-        out[pid] = write_partition(
-            manifest, pid, tbl, lineage=spec if isinstance(spec, (str, list, dict)) else None
-        )
+        # lineage is ALWAYS recorded (north rule: per-partition lineage):
+        # JSON-native specs verbatim, anything else via repr
+        lineage = spec if isinstance(spec, (str, list, dict)) else {"spec": repr(spec)}
+        out[pid] = write_partition(manifest, pid, tbl, lineage=lineage)
     return out
 
 

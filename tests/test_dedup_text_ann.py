@@ -53,9 +53,15 @@ def test_minhash_lsh_finds_near_dups():
     n = tbl.num_rows
     for i in range(5):
         assert (i, n - 5 + i) in got, (i, n - 5 + i, got)
-    # estimated jaccard high for them
+    # est_jaccard must TRACK the true n-gram jaccard, not merely clear
+    # the engine's own threshold (a self-referential check would pass
+    # with an estimator stuck at 1.0)
+    ta = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
     for _, r in pairs.iterrows():
         assert r["est_jaccard"] >= 0.6
+        true_j = float(dedup.batch_jaccard(pa.array([ta[r["id_a"]]]),
+                                           pa.array([ta[r["id_b"]]]))[0])
+        assert abs(r["est_jaccard"] - true_j) <= 0.2, (r["id_a"], r["id_b"], true_j)
 
 
 def test_simhash_near_dup():

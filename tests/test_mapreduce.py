@@ -54,7 +54,8 @@ def test_sequential_equals_parallel():
     ds = _golden_union_ds()
     seen = []
     mapreduce.for_each(ds, lambda row: seen.append(row["id"]))
-    assert len(seen) == 5
+    # WHICH ids, not just how many (105/106/108 nodes + way 107 + rel 109)
+    assert sorted(seen) == [105, 106, 107, 108, 120]
     assert mapreduce.count_elements(ds) == len(seen)
 
 

@@ -97,6 +97,9 @@ def test_grouped_ntile_matches_sql_rule():
     df = t.to_pandas()
     for gname, grp in df.groupby("g"):
         sub = out[out.g == gname].merge(grp, on=["g", "id"])
+        # every fixture row must survive: deriving L from the merge
+        # would shrink the oracle to fit dropped/mis-keyed rows
+        assert len(sub) == sizes[gname]
         sub = sub.sort_values(["v_x", "id"])
         L = len(sub)
         q, r = L // 4, L % 4

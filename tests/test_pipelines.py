@@ -32,6 +32,7 @@ def test_spatial_join_matches_oracle():
     got = set(zip(out["image_id"], out["poly_id"]))
     expect = _pip_oracle(images, polygons)
     assert got == expect
+    assert len(out) == len(expect)  # each containment pair exactly once
     assert len(expect) > 0  # fixture guarantees urban polygons catch skewed points
 
 
@@ -125,8 +126,13 @@ def test_top_k_tiles():
     top = tiles.top_k_tiles(rd.from_arrow(images), z=6, k=3).to_pandas()
     assert len(top) == 3
     assert top["n"].is_monotonic_decreasing
-    # skewed fixture: densest tile holds a big share
-    assert top["n"].iloc[0] >= 30
+    # exact oracle: THE top-3 cells by count, not just any 3 descending
+    from osmpbf_ray.stages import spatial as sp
+    cells = sp.lonlat_to_cell(images["lat"].to_numpy(),
+                              images["lon"].to_numpy(), 6)
+    uniq, counts = np.unique(cells, return_counts=True)
+    exp = sorted(counts, reverse=True)[:3]
+    assert top["n"].tolist() == exp
 
 
 def test_spatial_join_partitioned_matches_broadcast():
@@ -188,7 +194,9 @@ def test_manifest_resume(tmp_path):
     back = mf.read_output(tmp_path / "out")
     assert back.num_rows == 4
     rec = man.completed()["b2"]
-    assert rec["row_count"] == 1 and rec["lineage"] is None or True
+    # (the old form `A and B or True` was a tautology)
+    assert rec["row_count"] == 1
+    assert rec.get("lineage") is not None
     assert set(man.completed()) == {"b0", "b1", "b2", "b3"}
 
 

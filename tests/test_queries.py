@@ -32,6 +32,10 @@ def _to_df(res) -> pd.DataFrame:
 def test_query_matches_oracle(name, con):
     got = _to_df(q.queries()[name](SF))
     exp = con.execute(q.oracle_sql()[name]).df()
+    # a query whose oracle returns 0 rows at this scale factor would
+    # pass every comparison below VACUOUSLY — the fixtures guarantee
+    # every registered query produces rows at sf0.001
+    assert len(exp) > 0, f"{name}: oracle empty at sf0.001 — toothless compare"
     assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
     cols = sorted(exp.columns)
     assert sorted(got.columns) == cols

@@ -21,15 +21,19 @@ def test_key_set_ops_match_python_sets():
     la = rd.from_arrow(pa.table({"k": a}))
     lb = rd.from_arrow(pa.table({"kk": b}))
     sa, sb = set(a.tolist()), set(b.tolist())
-    got_i = set(r["k"] for r in key_set_op(la, lb, "k", "intersect",
-                                           right_key="kk").take_all())
-    got_e = set(r["k"] for r in key_set_op(la, lb, "k", "except",
-                                           right_key="kk").take_all())
-    got_u = set(r["k"] for r in key_set_op(la, lb, "k", "union",
-                                           right_key="kk").take_all())
-    assert got_i == sa & sb
-    assert got_e == sa - sb
-    assert got_u == sa | sb
+    rows_i = [r["k"] for r in key_set_op(la, lb, "k", "intersect",
+                                         right_key="kk").take_all()]
+    rows_e = [r["k"] for r in key_set_op(la, lb, "k", "except",
+                                         right_key="kk").take_all()]
+    rows_u = [r["k"] for r in key_set_op(la, lb, "k", "union",
+                                         right_key="kk").take_all()]
+    assert set(rows_i) == sa & sb
+    assert set(rows_e) == sa - sb
+    assert set(rows_u) == sa | sb
+    # SQL set ops return DISTINCT rows — duplicates would be invisible
+    # to the set compares above
+    for rows in (rows_i, rows_e, rows_u):
+        assert len(rows) == len(set(rows))
 
 
 def test_key_set_op_string_keys_and_output_distinct():

@@ -88,6 +88,9 @@ def test_knn_matches_brute_force():
         bf = spatial.haversine_m(qlat, qlon, lat, lon)
         expect = np.sort(bf)[:10]
         assert np.allclose(np.sort(d), expect)
+        # the IDS too, not just distances (an index-vs-id mixup would
+        # return right distances with wrong identities)
+        assert set(ids) == set(np.argsort(bf)[:10])
 
 
 def test_knn_haversine_adversarial_corner_cases():
@@ -130,6 +133,7 @@ def test_knn_haversine_certified_exact_vs_brute_force():
         exp_d = np.sort(bf)[:3]
         assert np.allclose(np.sort(got_d), exp_d, rtol=0, atol=1e-9), (
             ql, qo, got_d, exp_d)
+        assert set(got_ids) == set(np.argsort(bf)[:3])
 
 
 def test_knn_stage_haversine_matches_brute_force():
@@ -147,3 +151,4 @@ def test_knn_stage_haversine_matches_brute_force():
     for _, row in out.iterrows():
         bf = spatial.haversine_m(row["lat"], row["lon"], rlat, rlon)
         assert np.allclose(sorted(row["nn_dist_m"]), np.sort(bf)[:2], atol=1e-9)
+        assert set(row["nn_ids"]) == set(rids[np.argsort(bf)[:2]])

@@ -96,6 +96,9 @@ def test_range_join_matches_brute_force():
         for j in np.flatnonzero((rk == lk[i]) & (rt >= lt[i] + lo) & (rt <= lt[i] + hi))
     }
     assert got == expect
+    # each matching pair exactly ONCE — a bucketing regression that
+    # re-emits per bucket would be invisible to the set compare
+    assert len(out) == len(expect)
 
 
 def test_tag_preserves_bucket_column():
