@@ -2368,6 +2368,8 @@ def queries() -> dict:
         "image_decode": q_image_decode,
         "shipping_priority": q_shipping_priority,
         "knn_join_geo_kring": q_knn_join_geo_kring,
+        "hash_join": q_hash_join,
+        "anti_join_orders": q_anti_join_orders,
         # stalest (last driver-verified r3)
         "sessionize": q_sessionize,
         "tile_stats": q_tile_stats,
@@ -2390,7 +2392,6 @@ def queries() -> dict:
         "hash_sample": q_hash_sample,
         "top_orders_per_cust": q_top_orders_per_cust,
         "tile_rollup": q_tile_rollup,
-        "anti_join_orders": q_anti_join_orders,
         "event_lag": q_event_lag,
         "quantiles_price": q_quantiles_price,
         "left_join_lineitems": q_left_join_lineitems,
@@ -2405,7 +2406,6 @@ def queries() -> dict:
         "tally_returnflag": q_tally_returnflag,
         "filter_tag_lang": q_filter_tag_lang,
         "semi_join_deps": q_semi_join_deps,
-        "hash_join": q_hash_join,
         "coord_decode": q_coord_decode,
         "pricing_summary": q_pricing_summary,
         "salted_group_count": q_salted_group_count,
